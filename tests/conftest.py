@@ -1,0 +1,30 @@
+"""Test configuration: force CPU with 8 virtual devices BEFORE jax imports.
+
+This is the standard JAX fake-multi-device trick (SURVEY.md §4): sharding /
+collective tests run on an 8-device CPU mesh, substituting for multi-chip TPU
+hardware. bench.py (real-TPU benchmark) deliberately does NOT import this.
+"""
+
+import os
+
+# The session environment pins JAX_PLATFORMS=axon (the real TPU tunnel);
+# tests must run on the virtual CPU mesh, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# jaxtyping's pytest plugin imports jax before this conftest runs, so the env
+# var alone is too late — update the live config too.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

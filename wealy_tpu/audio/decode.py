@@ -1,0 +1,84 @@
+"""Host-side audio decode to 16 kHz mono float32.
+
+The reference delegates to ``whisper.load_audio`` (ffmpeg subprocess,
+lib/audio_dataset/dataset.py:652-654). This environment has neither ffmpeg nor
+soundfile, so the framework ships a native stdlib WAV decoder (PCM 8/16/32-bit
+and IEEE float) and falls back to ffmpeg when a binary is present. Resampling
+to 16 kHz runs on device (:mod:`wealy_tpu.audio.resample`).
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import wave
+from pathlib import Path
+
+import numpy as np
+
+from wealy_tpu.audio.mel import SAMPLE_RATE
+
+
+def _decode_wav(path: str) -> tuple[np.ndarray, int]:
+    """Decode a PCM/float WAV file to (float32 mono waveform, sample_rate)."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        # Heuristic: wave doesn't expose the format tag; int32 PCM is the
+        # overwhelmingly common 4-byte case.
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width} bytes")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, sr
+
+
+def _decode_ffmpeg(path: str, sr: int) -> np.ndarray:
+    cmd = [
+        "ffmpeg",
+        "-nostdin",
+        "-threads",
+        "0",
+        "-i",
+        path,
+        "-f",
+        "s16le",
+        "-ac",
+        "1",
+        "-acodec",
+        "pcm_s16le",
+        "-ar",
+        str(sr),
+        "-",
+    ]
+    out = subprocess.run(cmd, capture_output=True, check=True).stdout
+    return np.frombuffer(out, dtype="<i2").astype(np.float32) / 32768.0
+
+
+def load_audio(path: str | Path, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Load any supported audio file as float32 mono at ``sr`` Hz.
+
+    WAV files decode natively; other formats require an ffmpeg binary on PATH.
+    Resampling (if needed) runs through the TPU polyphase resampler.
+    """
+    path = str(path)
+    if path.lower().endswith(".wav"):
+        x, file_sr = _decode_wav(path)
+        if file_sr != sr:
+            from wealy_tpu.audio.resample import resample
+
+            x = np.asarray(resample(x, file_sr, sr))
+        return x
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            f"cannot decode {path!r}: not a WAV file and no ffmpeg binary available"
+        )
+    return _decode_ffmpeg(path, sr)

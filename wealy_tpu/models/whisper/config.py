@@ -1,0 +1,72 @@
+"""Whisper model family configs (public architecture hyperparameters)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    n_audio_ctx: int = 1500  # encoder frames after the stride-2 conv
+    n_audio_state: int = 384  # model width d
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+
+    # special token ids (multilingual vocab layout)
+    @property
+    def sot(self) -> int:  # <|startoftranscript|>
+        return self.n_vocab - 51865 + 50258
+
+    @property
+    def eot(self) -> int:  # <|endoftext|>
+        return self.sot - 1
+
+    @property
+    def token_transcribe(self) -> int:
+        return self.sot + 1 + 99 + 1  # after 99 language tokens + <|translate|>
+
+    @property
+    def token_translate(self) -> int:
+        return self.sot + 1 + 99
+
+    @property
+    def token_no_timestamps(self) -> int:
+        return self.sot + 1 + 99 + 2 + 1  # <|startofprev|> sits between
+
+    def language_token(self, lang_index: int) -> int:
+        """Language tokens immediately follow <|startoftranscript|>; English is 0."""
+        return self.sot + 1 + lang_index
+
+
+def _cfg(d, h, enc_l, dec_l, n_mels=80, n_vocab=51865):
+    return WhisperConfig(
+        n_mels=n_mels,
+        n_audio_state=d,
+        n_audio_head=h,
+        n_audio_layer=enc_l,
+        n_vocab=n_vocab,
+        n_text_state=d,
+        n_text_head=h,
+        n_text_layer=dec_l,
+    )
+
+
+WHISPER_CONFIGS = {
+    "tiny": _cfg(384, 6, 4, 4),
+    "base": _cfg(512, 8, 6, 6),
+    "small": _cfg(768, 12, 12, 12),
+    "medium": _cfg(1024, 16, 24, 24),
+    "large": _cfg(1280, 20, 32, 32),
+    "large-v2": _cfg(1280, 20, 32, 32),
+    "large-v3": _cfg(1280, 20, 32, 32, n_mels=128, n_vocab=51866),
+    # "turbo" — the WEALY default whisper_set is turbo-based
+    # (lib/audio_dataset/dataset.py:17-19: whisper_set="turbo_nothing_whisper_42")
+    "large-v3-turbo": _cfg(1280, 20, 32, 4, n_mels=128, n_vocab=51866),
+}
+WHISPER_CONFIGS["turbo"] = WHISPER_CONFIGS["large-v3-turbo"]

@@ -1,0 +1,99 @@
+"""Convert Hugging Face WhisperModel weights to wealy_tpu param pytrees.
+
+Works on a plain ``state_dict()``-style mapping of numpy/torch tensors, so
+checkpoints can come from ``transformers`` (locally cached) or from any dump
+of the published weights. No network access is required or attempted.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from wealy_tpu.models.whisper.config import WhisperConfig
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _dense(sd, prefix, bias=True):
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if bias:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _attn(sd, prefix):
+    return {
+        "q": _dense(sd, f"{prefix}.q_proj"),
+        "k": _dense(sd, f"{prefix}.k_proj", bias=False),
+        "v": _dense(sd, f"{prefix}.v_proj"),
+        "out": _dense(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _enc_block(sd, prefix):
+    return {
+        "attn_ln": _ln(sd, f"{prefix}.self_attn_layer_norm"),
+        "attn": _attn(sd, f"{prefix}.self_attn"),
+        "mlp_ln": _ln(sd, f"{prefix}.final_layer_norm"),
+        "mlp_fc1": _dense(sd, f"{prefix}.fc1"),
+        "mlp_fc2": _dense(sd, f"{prefix}.fc2"),
+    }
+
+
+def _dec_block(sd, prefix):
+    out = _enc_block(sd, prefix)
+    out["cross_attn_ln"] = _ln(sd, f"{prefix}.encoder_attn_layer_norm")
+    out["cross_attn"] = _attn(sd, f"{prefix}.encoder_attn")
+    return out
+
+
+def params_from_hf_state_dict(
+    state_dict: Mapping[str, object], config: WhisperConfig
+) -> dict:
+    """Build the ``{"encoder": ..., "decoder": ...}`` param tree for
+    :class:`wealy_tpu.models.whisper.model.Whisper` from an HF state dict.
+
+    Accepts keys with or without the ``model.`` prefix
+    (WhisperForConditionalGeneration vs WhisperModel); ``proj_out`` is ignored
+    (Whisper ties it to the token embedding).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("model."):
+            k = k[len("model.") :]
+        sd[k] = v
+
+    enc = {
+        # torch Conv1d weight (out, in, k) -> linen Conv kernel (k, in, out)
+        "conv1": {
+            "kernel": _np(sd["encoder.conv1.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd["encoder.conv1.bias"]),
+        },
+        "conv2": {
+            "kernel": _np(sd["encoder.conv2.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd["encoder.conv2.bias"]),
+        },
+        "ln_post": _ln(sd, "encoder.layer_norm"),
+    }
+    for i in range(config.n_audio_layer):
+        enc[f"block_{i}"] = _enc_block(sd, f"encoder.layers.{i}")
+
+    dec = {
+        "token_embedding": _np(sd["decoder.embed_tokens.weight"]),
+        "positional_embedding": _np(sd["decoder.embed_positions.weight"]),
+        "ln": _ln(sd, "decoder.layer_norm"),
+    }
+    for i in range(config.n_text_layer):
+        dec[f"block_{i}"] = _dec_block(sd, f"decoder.layers.{i}")
+
+    return {"encoder": enc, "decoder": dec}

@@ -1,0 +1,134 @@
+"""Greedy decoding with a static-shape KV cache under ``lax.while_loop``.
+
+This is the extraction path for the decoder-embedding taxonomy
+(``hs_last_seq`` / ``hs_last_all`` — reference file names at
+lib/embedding_dataset/base_dataset.py:99-126): transcribe each 30 s chunk
+greedily and collect the decoder's last-hidden-state vector for every
+generated token. Entirely on-device: static buffers of length ``max_len``,
+early exit when every sequence has emitted <|endoftext|>.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from wealy_tpu.models.whisper.config import WhisperConfig
+from wealy_tpu.models.whisper.model import Whisper
+
+
+def default_prompt(config: WhisperConfig, language: Optional[int] = None) -> list[int]:
+    """<|startoftranscript|> [<|lang|> <|transcribe|>] <|notimestamps|>.
+
+    ``language=None`` omits the language/task tokens (model auto-detects on
+    the first generated token); ``language=0`` forces English — the ``_en``
+    embedding variants of the reference taxonomy.
+    """
+    toks = [config.sot]
+    if language is not None:
+        toks += [config.language_token(language), config.token_transcribe]
+    toks.append(config.token_no_timestamps)
+    return toks
+
+
+def init_kv_caches(config: WhisperConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    H = config.n_text_head
+    Dh = config.n_text_state // H
+    return [
+        (
+            jnp.zeros((batch, max_len, H, Dh), dtype),
+            jnp.zeros((batch, max_len, H, Dh), dtype),
+        )
+        for _ in range(config.n_text_layer)
+    ]
+
+
+def greedy_decode(
+    model: Whisper,
+    params,
+    audio_states,
+    config: WhisperConfig,
+    prompt: Sequence[int],
+    max_len: int = 224,
+    suppress_tokens: Optional[Sequence[int]] = None,
+    eot: Optional[int] = None,
+):
+    """Greedy-decode from encoder states.
+
+    Returns dict with:
+      - ``tokens``  (B, max_len) int32 — prompt + generated, eot-padded
+      - ``lengths`` (B,) int32 — number of valid positions (incl. prompt)
+      - ``hidden``  (B, max_len, D) — decoder last hidden state per position
+    """
+    B = audio_states.shape[0]
+    P = len(prompt)
+    assert 0 < P < max_len
+    if eot is None:
+        eot = config.eot
+
+    tokens = jnp.full((B, max_len), eot, dtype=jnp.int32)
+    tokens = tokens.at[:, :P].set(jnp.asarray(list(prompt), dtype=jnp.int32))
+    hidden_buf = jnp.zeros((B, max_len, config.n_text_state), model.dtype)
+    caches = init_kv_caches(config, B, max_len, dtype=model.dtype)
+
+    suppress = (
+        jnp.asarray(list(suppress_tokens), dtype=jnp.int32)
+        if suppress_tokens is not None and len(suppress_tokens) > 0
+        else None
+    )
+
+    def _mask_logits(logits):
+        if suppress is None:
+            return logits
+        return logits.at[:, suppress].set(-jnp.inf)
+
+    # Prefill the prompt (cache positions [0, P)).
+    hid, logits, caches = model.apply(
+        {"params": params},
+        tokens[:, :P],
+        audio_states,
+        kv_caches=caches,
+        cache_index=0,
+        method=Whisper.decode,
+    )
+    hidden_buf = lax.dynamic_update_slice(hidden_buf, hid.astype(model.dtype), (0, 0, 0))
+    next_tok = jnp.argmax(_mask_logits(logits[:, -1]), axis=-1).astype(jnp.int32)
+    tokens = tokens.at[:, P].set(next_tok)
+    finished0 = next_tok == eot
+
+    def cond(state):
+        i, _, _, _, finished = state
+        return (i < max_len - 1) & jnp.logical_not(jnp.all(finished))
+
+    def body(state):
+        i, tokens, hidden_buf, caches, finished = state
+        tok = lax.dynamic_slice(tokens, (0, i), (B, 1))
+        hid, logits, caches = model.apply(
+            {"params": params},
+            tok,
+            audio_states,
+            kv_caches=caches,
+            cache_index=i,
+            method=Whisper.decode,
+        )
+        hidden_buf = lax.dynamic_update_slice(
+            hidden_buf, hid.astype(model.dtype), (0, i, 0)
+        )
+        nxt = jnp.argmax(_mask_logits(logits[:, -1]), axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, eot, nxt)
+        tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
+        return (i + 1, tokens, hidden_buf, caches, finished | (nxt == eot))
+
+    state = (jnp.int32(P), tokens, hidden_buf, caches, finished0)
+    _, tokens, hidden_buf, _, _ = lax.while_loop(cond, body, state)
+
+    # lengths: prompt + generated tokens before the first eot
+    pos = jnp.arange(max_len)[None, :]
+    is_eot = (tokens == eot) & (pos >= P)
+    has_eot = jnp.any(is_eot, axis=1)
+    first_eot = jnp.argmax(is_eot, axis=1)
+    lengths = jnp.where(has_eot, first_eot, max_len).astype(jnp.int32)
+    return {"tokens": tokens, "lengths": lengths, "hidden": hidden_buf}

@@ -1,0 +1,239 @@
+"""Flax Whisper encoder/decoder, TPU-first.
+
+Design notes (vs the public PyTorch architecture):
+  - bf16 compute / f32 params by default; attention logits, softmax and
+    LayerNorm always run in f32 (the parity-critical accumulations — SURVEY.md
+    §7 "hard parts": bf16 vs fp16 tolerance).
+  - Attention is a single fused einsum pair with ``preferred_element_type``
+    so the MXU accumulates in f32; a Pallas flash-attention drop-in lives in
+    wealy_tpu.models.whisper.attention (used automatically for long contexts).
+  - The decoder supports an explicit KV cache pytree for greedy decoding under
+    ``lax.while_loop`` (no Python-loop generation).
+  - Weight layout converts 1:1 from Hugging Face WhisperModel state dicts
+    (convert.py) — golden parity is tested against transformers on CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from wealy_tpu.models.whisper.config import WhisperConfig
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Fixed sinusoidal position embedding (sin | cos concatenation)."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32
+    )
+
+
+class MultiHeadAttention(nn.Module):
+    """Whisper-style MHA: q/k scaled by d_head**-0.25 each, k_proj has no bias."""
+
+    n_state: int
+    n_head: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        xa=None,
+        mask=None,
+        kv_cache=None,
+        cache_index=None,
+    ):
+        """x: (B, Tq, D) queries. xa: optional (B, Tk, D) cross-attn memory.
+
+        kv_cache: optional (k, v) arrays of shape (B, Tmax, H, Dh) to update
+        in-place at ``cache_index`` (self-attn incremental decode). Returns
+        (out, new_kv_cache).
+        """
+        D, H = self.n_state, self.n_head
+        Dh = D // H
+        q = nn.Dense(D, dtype=self.dtype, name="q")(x)
+        source = x if xa is None else xa
+        k = nn.Dense(D, use_bias=False, dtype=self.dtype, name="k")(source)
+        v = nn.Dense(D, dtype=self.dtype, name="v")(source)
+
+        B, Tq = q.shape[0], q.shape[1]
+        q = q.reshape(B, Tq, H, Dh)
+        k = k.reshape(B, -1, H, Dh)
+        v = v.reshape(B, -1, H, Dh)
+
+        if kv_cache is not None:
+            ck, cv = kv_cache
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            k, v = ck, cv
+            new_cache = (ck, cv)
+        else:
+            new_cache = None
+
+        scale = Dh**-0.25
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk",
+            q * scale,
+            k * scale,
+            preferred_element_type=jnp.float32,
+        )
+        if mask is not None:
+            logits = logits + mask
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v, preferred_element_type=jnp.float32)
+        out = out.reshape(B, Tq, D).astype(self.dtype)
+        out = nn.Dense(D, dtype=self.dtype, name="out")(out)
+        return out, new_cache
+
+
+class ResidualAttentionBlock(nn.Module):
+    n_state: int
+    n_head: int
+    cross_attention: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None):
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="attn_ln")(x).astype(self.dtype)
+        attn_out, new_cache = MultiHeadAttention(
+            self.n_state, self.n_head, dtype=self.dtype, name="attn"
+        )(h, mask=mask, kv_cache=kv_cache, cache_index=cache_index)
+        x = x + attn_out
+
+        if self.cross_attention:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="cross_attn_ln")(x).astype(self.dtype)
+            cross_out, _ = MultiHeadAttention(
+                self.n_state, self.n_head, dtype=self.dtype, name="cross_attn"
+            )(h, xa=xa)
+            x = x + cross_out
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="mlp_ln")(x).astype(self.dtype)
+        h = nn.Dense(4 * self.n_state, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.n_state, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + h, new_cache
+
+
+class WhisperEncoder(nn.Module):
+    """Mel (B, n_mels, 3000) -> audio states (B, 1500, D)."""
+
+    config: WhisperConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, mel):
+        cfg = self.config
+        x = jnp.swapaxes(mel, 1, 2).astype(self.dtype)  # (B, T, n_mels)
+        x = nn.Conv(cfg.n_audio_state, (3,), padding=1, dtype=self.dtype, name="conv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(
+            cfg.n_audio_state, (3,), strides=(2,), padding=1, dtype=self.dtype, name="conv2"
+        )(x)
+        x = nn.gelu(x, approximate=False)  # (B, 1500, D)
+
+        pos = jnp.asarray(sinusoids(cfg.n_audio_ctx, cfg.n_audio_state))
+        x = x + pos[None, : x.shape[1]].astype(self.dtype)
+
+        for i in range(cfg.n_audio_layer):
+            x, _ = ResidualAttentionBlock(
+                cfg.n_audio_state, cfg.n_audio_head, dtype=self.dtype, name=f"block_{i}"
+            )(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x)
+        return x.astype(self.dtype)
+
+
+class WhisperDecoder(nn.Module):
+    """Token ids (B, T) + encoder states -> hidden states (B, T, D) and logits.
+
+    With ``kv_caches``/``cache_index`` set, runs one incremental step
+    (T == new tokens, usually 1) against cached self-attention keys/values.
+    """
+
+    config: WhisperConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, tokens, audio_states, kv_caches=None, cache_index=None):
+        cfg = self.config
+        embed = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.n_vocab, cfg.n_text_state),
+            jnp.float32,
+        )
+        pos_embed = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.n_text_ctx, cfg.n_text_state),
+            jnp.float32,
+        )
+        T = tokens.shape[1]
+        x = jnp.take(embed, tokens, axis=0).astype(self.dtype)
+        offset = 0 if cache_index is None else cache_index
+        pos = jax.lax.dynamic_slice_in_dim(pos_embed, offset, T, axis=0)
+        x = x + pos[None].astype(self.dtype)
+
+        if cache_index is None:
+            causal = jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)
+            mask = causal[None, None]
+        else:
+            # incremental (works for both multi-token prefill and 1-token
+            # steps): query t sits at absolute position cache_index + t and
+            # may attend to cache positions <= that.
+            Tmax = kv_caches[0][0].shape[1]
+            q_pos = cache_index + jnp.arange(T)[:, None]
+            key_pos = jnp.arange(Tmax)[None, :]
+            mask = jnp.where(key_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)[
+                None, None
+            ]
+
+        new_caches = []
+        for i in range(cfg.n_text_layer):
+            cache_i = None if kv_caches is None else kv_caches[i]
+            x, new_cache = ResidualAttentionBlock(
+                cfg.n_text_state,
+                cfg.n_text_head,
+                cross_attention=True,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, xa=audio_states, mask=mask, kv_cache=cache_i, cache_index=cache_index)
+            new_caches.append(new_cache)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(x)
+        logits = jnp.einsum(
+            "btd,vd->btv", x, embed, preferred_element_type=jnp.float32
+        )
+        hidden = x.astype(self.dtype)
+        if kv_caches is None:
+            return hidden, logits
+        return hidden, logits, new_caches
+
+
+class Whisper(nn.Module):
+    """Full encoder-decoder; ``method=`` entry points for each half."""
+
+    config: WhisperConfig
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.encoder = WhisperEncoder(self.config, dtype=self.dtype)
+        self.decoder = WhisperDecoder(self.config, dtype=self.dtype)
+
+    def __call__(self, mel, tokens):
+        audio_states = self.encoder(mel)
+        return self.decoder(tokens, audio_states)
+
+    def encode(self, mel):
+        return self.encoder(mel)
+
+    def decode(self, tokens, audio_states, kv_caches=None, cache_index=None):
+        return self.decoder(tokens, audio_states, kv_caches=kv_caches, cache_index=cache_index)

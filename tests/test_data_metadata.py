@@ -1,0 +1,208 @@
+"""Dataset pipeline tests over synthetic on-disk fixture trees mimicking the
+SHS / lyric-covers / discogs-vi layouts (SURVEY.md §4, test tier 4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wealy_tpu.data import (
+    Metadata,
+    assign_deterministic_ids,
+    deterministic_song_id,
+    global_clique_id_mapping,
+    load_discogs_vi,
+    load_lyric_covers,
+    load_metadata,
+    load_shs,
+    remove_overlapping_cliques,
+    remove_single_version_cliques,
+    remove_versions_without_audio,
+)
+from wealy_tpu.data.paths import find_audio_path, embedding_filename
+
+
+@pytest.fixture
+def shs_tree(tmp_path):
+    # main CSV
+    df = pd.DataFrame(
+        {
+            "set_id": [1, 1, 1, 2, 2, 3, 12, 12],
+            "ver_id": [0, 1, 2, 0, 1, 0, 0, 1],
+            "title": list("abcdefgh"),
+        }
+    )
+    csv = tmp_path / "shs_data.csv"
+    df.to_csv(csv, index=False)
+    splits = tmp_path / "splits"
+    splits.mkdir()
+    (splits / "SHS100K-TRAIN").write_text("1\t0\n1\t1\n1\t2\n2\t0\n2\t1\n")
+    (splits / "SHS100K-VAL").write_text("3\t0\n")
+    (splits / "SHS100K-TEST").write_text("12\t0\n12\t1\n")
+    return csv, splits
+
+
+class TestSHS:
+    def test_load(self, shs_tree):
+        csv, splits = shs_tree
+        md = load_shs(csv, splits)
+        assert md.dataset_name == "shs"
+        assert len(md.info) == 8
+        assert set(md.splits["train"]) == {"1", "2"}
+        assert md.splits["train"]["1"] == ["1-0", "1-1", "1-2"]
+        assert md.splits["test"]["12"] == ["12-0", "12-1"]
+        e = md.info["1-0"]
+        assert e["filename"] == "1-0.mp3"
+        assert e["set_id"] == 1 and e["ver_id"] == 0
+        assert e["clique"] == "1"
+
+    def test_split_join_drops_unlisted(self, tmp_path, shs_tree):
+        csv, splits = shs_tree
+        # add a row not present in any split file -> inner join drops it
+        df = pd.read_csv(csv)
+        df.loc[len(df)] = [99, 0, "z"]
+        df.to_csv(csv, index=False)
+        md = load_shs(csv, splits)
+        assert "99-0" not in md.info
+
+
+@pytest.fixture
+def lc_tree(tmp_path):
+    for split, rows in {
+        "train": [(10, 100, False, "orig", "A"), (10, 101, True, "cover", "A"), (20, 200, True, "cover", "B"), (20, 201, True, "cover", "B")],
+        "val": [(30, 300, False, "orig", "C"), (30, 301, True, "cover", "C")],
+        "test": [(40, 400, False, "orig", "D")],
+    }.items():
+        df = pd.DataFrame(
+            rows, columns=["original_id", "id", "is_cover", "song_text_type", "label"]
+        )
+        df.to_csv(tmp_path / f"{split}_no_dup.csv", index=False)
+    return tmp_path
+
+
+class TestLyricCovers:
+    def test_load(self, lc_tree):
+        md = load_lyric_covers(lc_tree)
+        assert len(md.info) == 7
+        assert set(md.splits["train"]) == {"A", "B"}
+        e = md.info["100"]
+        assert e["filename"] == "100_audio.mp3"
+        assert e["clique"] == "A"
+        assert e["is_cover"] == False  # noqa: E712
+
+
+@pytest.fixture
+def dvi_tree(tmp_path):
+    rows = [
+        "train,C-1,V-1,yt1,aa/song1",
+        "train,C-1,V-2,yt2,aa/song2",
+        "val,C-2,V-3,yt3,bb/song3",
+        "test,C-3,V-4,yt4,cc/song4",
+    ]
+    (tmp_path / "id-to-file-mapping.csv").write_text("\n".join(rows) + "\n")
+    return tmp_path
+
+
+class TestDiscogsVI:
+    def test_load(self, dvi_tree):
+        md = load_discogs_vi(dvi_tree)
+        assert len(md.info) == 4
+        assert md.splits["train"]["C-1"] == ["aa/song1", "aa/song2"]
+        e = md.info["aa/song1"]
+        assert e["filename"] == "aa/song1.mp3"
+        assert e["youtube_id"] == "yt1"
+
+
+class TestIds:
+    def test_deterministic_id_stable(self):
+        a = deterministic_song_id("12", "3")
+        assert a == deterministic_song_id("12", "3")
+        assert 0 <= a < 2**31
+        assert a != deterministic_song_id("12", "4")
+
+    def test_md5_known_value(self):
+        import hashlib
+
+        want = int.from_bytes(hashlib.md5(b"1-0").digest()[:4], "big") & 0x7FFFFFFF
+        assert deterministic_song_id("1", "0") == want
+
+    def test_assign_ids_shs(self, shs_tree):
+        md = load_shs(*shs_tree)
+        assign_deterministic_ids(md)
+        assert md.info["1-0"]["id"] == deterministic_song_id("1", "0")
+
+    def test_global_clique_mapping_offsets(self, shs_tree):
+        md = load_shs(*shs_tree)
+        mapping = global_clique_id_mapping(md)
+        # train cliques first (two of them), then val, then test
+        assert mapping["1"] == 0 and mapping["2"] == 1
+        assert mapping["3"] == 2
+        assert mapping["12"] == 3
+
+
+class TestFilters:
+    def test_audio_filter_shs_layout(self, tmp_path, shs_tree):
+        md = load_shs(*shs_tree)
+        audio = tmp_path / "SHS100K" / "audio"
+        # put audio for clique 1 only, under the three folder variants
+        (audio / "1").mkdir(parents=True)
+        (audio / "1" / "1-0.mp3").write_bytes(b"x")
+        (audio / "1-").mkdir()
+        (audio / "1-" / "1-1.mp3").write_bytes(b"x")  # single-digit variant folder
+        removed = remove_versions_without_audio(md, tmp_path)
+        assert set(md.splits["train"]) == {"1"}
+        assert sorted(md.splits["train"]["1"]) == ["1-0", "1-1"]
+        assert removed["train"] == 3
+
+    def test_single_version_filter(self, shs_tree):
+        md = load_shs(*shs_tree)
+        md.splits["train"]["2"] = ["2-0"]  # degrade
+        remove_single_version_cliques(md)
+        assert "2" not in md.splits["train"]
+        assert "3" not in md.splits["val"]  # has 1 version from fixture
+
+    def test_overlap_filter(self, shs_tree):
+        md = load_shs(*shs_tree)
+        md.splits["val"]["1"] = ["1-0"]  # inject overlap
+        remove_overlapping_cliques(md)
+        assert "1" not in md.splits["val"]
+        assert "1" in md.splits["train"]
+
+    def test_prune_info(self, shs_tree):
+        md = load_shs(*shs_tree)
+        md.splits["train"] = {"1": ["1-0"]}
+        md.splits["val"] = {}
+        md.splits["test"] = {}
+        md.prune_to_splits()
+        assert set(md.info) == {"1-0"}
+
+
+class TestCacheRoundtrip:
+    def test_save_load(self, shs_tree, tmp_path):
+        md = load_shs(*shs_tree)
+        assign_deterministic_ids(md)
+        p = tmp_path / "meta.json"
+        md.save(p)
+        md2 = Metadata.load(p)
+        assert md2.info == md.info
+        assert md2.splits == md.splits
+
+    def test_load_metadata_cache_priority(self, shs_tree, tmp_path):
+        csv, splits = shs_tree
+        cache = tmp_path / "meta.json"
+        md = load_metadata("shs", shs_data=csv, shs_splits=splits, meta_cache=str(cache))
+        assert cache.exists()
+        # second load hits the cache even with bogus csv paths
+        md2 = load_metadata("shs", shs_data="/nonexistent", shs_splits="/nonexistent", meta_cache=str(cache))
+        assert md2.splits == md.splits
+
+
+def test_embedding_filename_taxonomy():
+    assert embedding_filename("encoder", "concat") == "x_concat.npz"
+    assert embedding_filename("encoder", "all") == "x_all.npz"
+    assert embedding_filename("last_hidden_states", "concat") == "hs_last_seq.npz"
+    assert embedding_filename("last_hidden_states_en", "all") == "hs_last_all_en.npz"
+    assert embedding_filename("sbert", "any") == "hs_sbert.npz"
+    assert embedding_filename("clews", "any") == "hs_clews.npz"
+    assert embedding_filename("multimodal", "any") == "multimodal"
+    with pytest.raises(ValueError):
+        embedding_filename("bogus", "concat")

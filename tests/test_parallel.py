@@ -1,0 +1,108 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded similarity
+equals the single-device result; global-batch losses equal single-device
+losses; gradients flow through the all_gather (SURVEY.md §4, test tier 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wealy_tpu.losses import clews_loss, ntxent_loss
+from wealy_tpu.ops.distance import pairwise_distance_matrix
+from wealy_tpu.parallel import (
+    global_batch_loss,
+    make_mesh,
+    sharded_pairwise_distance,
+    sharded_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh()
+
+
+class TestShardedSimilarity:
+    def test_matches_single_device(self, mesh, rng):
+        x = rng.normal(size=(37, 16)).astype(np.float32)  # deliberately ragged
+        y = rng.normal(size=(53, 16)).astype(np.float32)
+        got = np.asarray(sharded_pairwise_distance(x, y, mesh, mode="cossim"))
+        want = np.asarray(pairwise_distance_matrix(x, y, mode="cossim"))
+        assert got.shape == (37, 53)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_blocked_matches(self, mesh, rng):
+        x = rng.normal(size=(16, 8)).astype(np.float32)
+        y = rng.normal(size=(45, 8)).astype(np.float32)
+        got = np.asarray(
+            sharded_pairwise_distance(x, y, mesh, mode="cos", block_size=16)
+        )
+        want = np.asarray(pairwise_distance_matrix(x, y, mode="cos"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_topk(self, mesh, rng):
+        x = rng.normal(size=(10, 8)).astype(np.float32)
+        y = rng.normal(size=(30, 8)).astype(np.float32)
+        vals, idx = sharded_topk(x, y, mesh, k=5, mode="cossim")
+        full = np.asarray(pairwise_distance_matrix(x, y, mode="cossim"))
+        want_idx = np.argsort(-full, axis=1)[:, :5]
+        # compare scores (indices may tie-swap)
+        want_vals = np.take_along_axis(full, want_idx, axis=1)
+        np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-5, atol=1e-6)
+
+    def test_topk_distance_mode(self, mesh, rng):
+        x = rng.normal(size=(6, 8)).astype(np.float32)
+        y = rng.normal(size=(20, 8)).astype(np.float32)
+        vals, idx = sharded_topk(x, y, mesh, k=3, mode="euc")
+        full = np.asarray(pairwise_distance_matrix(x, y, mode="euc"))
+        want = np.sort(full, axis=1)[:, :3]
+        np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-4, atol=1e-5)
+
+
+class TestGlobalBatchLoss:
+    def _batch(self, rng, B=16):
+        labels = np.repeat(np.arange(B // 2, dtype=np.int32), 2)
+        idx = np.arange(B, dtype=np.int32)
+        z = rng.normal(size=(B, 8)).astype(np.float32)
+        return labels, idx, z
+
+    def test_clews_matches_single_device(self, mesh, rng):
+        labels, idx, z = self._batch(rng)
+        gl = global_batch_loss(clews_loss, mesh)
+        loss_g, ld_g = jax.jit(gl)(labels, idx, z)
+        loss_s, ld_s = clews_loss(labels, idx, z)
+        np.testing.assert_allclose(float(loss_g), float(loss_s), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(ld_g["l_cont"]), float(ld_s["l_cont"]), rtol=1e-5
+        )
+
+    def test_ntxent_matches_single_device(self, mesh, rng):
+        labels, idx, z = self._batch(rng)
+        gl = global_batch_loss(ntxent_loss, mesh)
+        loss_g, _ = jax.jit(gl)(labels, idx, z)
+        loss_s, _ = ntxent_loss(labels, idx, z)
+        np.testing.assert_allclose(float(loss_g), float(loss_s), rtol=1e-5)
+
+    def test_gradients_match(self, mesh, rng):
+        labels, idx, z = self._batch(rng)
+        gl = global_batch_loss(clews_loss, mesh)
+        g_global = jax.grad(lambda z: gl(labels, idx, z)[0])(jnp.asarray(z))
+        g_single = jax.grad(lambda z: clews_loss(labels, idx, z)[0])(jnp.asarray(z))
+        np.testing.assert_allclose(
+            np.asarray(g_global), np.asarray(g_single), rtol=1e-4, atol=1e-6
+        )
+
+    def test_sharded_inputs(self, mesh, rng):
+        # explicitly shard the batch over the mesh and verify the wrapped loss
+        # still returns the global value
+        from wealy_tpu.parallel.mesh import data_sharding
+
+        labels, idx, z = self._batch(rng)
+        zl = jax.device_put(jnp.asarray(labels), data_sharding(mesh, 1))
+        zi = jax.device_put(jnp.asarray(idx), data_sharding(mesh, 1))
+        zz = jax.device_put(jnp.asarray(z), data_sharding(mesh, 2))
+        gl = global_batch_loss(clews_loss, mesh)
+        loss_g, _ = jax.jit(gl)(zl, zi, zz)
+        loss_s, _ = clews_loss(labels, idx, z)
+        np.testing.assert_allclose(float(loss_g), float(loss_s), rtol=1e-5)

@@ -1,0 +1,173 @@
+"""Training-layer tests: config round-trip, state/step mechanics, a short
+end-to-end fit() that must reduce the CLEWS loss, and checkpoint save/restore."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from wealy_tpu.data.metadata import Metadata
+from wealy_tpu.data.sampler import CliqueSampler
+from wealy_tpu.losses import clews_loss
+from wealy_tpu.models.heads import ProjectionHead
+from wealy_tpu.parallel import make_mesh
+from wealy_tpu.train import Config, create_train_state, make_train_step
+from wealy_tpu.train.loop import MetricsWriter, batch_to_device, fit
+from wealy_tpu.train.state import make_optimizer
+
+
+class TestConfig:
+    def test_defaults(self):
+        c = Config()
+        assert c.data.chunk_size == 1000
+        assert c.data.whisper_set == "turbo_nothing_whisper_42"
+        assert c.model.name == "whisper"
+        assert c.train.loss == "clews"
+
+    def test_from_dict_partial(self):
+        c = Config.from_dict(
+            {"data": {"dataset_name": "lyric-covers", "chunk_size": 500},
+             "model": {"name": "wealy-clews"},
+             "path": {"hidden_states": "/x"}}
+        )
+        assert c.data.dataset_name == "lyric-covers"
+        assert c.data.chunk_size == 500
+        assert c.model.name == "wealy-clews"
+        assert c.path.hidden_states == "/x"
+        assert c.train.lr == 1e-4  # default preserved
+
+    def test_json_roundtrip(self, tmp_path):
+        c = Config()
+        p = tmp_path / "conf.json"
+        import json
+
+        p.write_text(json.dumps(c.to_dict()))
+        c2 = Config.from_json(p)
+        assert c2.to_dict() == c.to_dict()
+
+
+def _toy_md(n_cliques=4, n_versions=4):
+    info, splits = {}, {"train": {}, "val": {}, "test": {}}
+    for ci in range(n_cliques):
+        clique = f"c{ci}"
+        splits["train"][clique] = []
+        for v in range(n_versions):
+            key = f"{clique}-{v}"
+            info[key] = {
+                "id": ci * 100 + v, "clique": clique, "clique_idx": ci,
+                "version_idx": len(info), "filename": key, "version_key": key,
+            }
+            splits["train"][clique].append(key)
+    return Metadata("lyric-covers", info, splits)
+
+
+def _toy_loader(seed=0, T=12, C=16):
+    """Embeddings with clique-dependent structure (so the loss can learn)."""
+    rng = np.random.default_rng(seed)
+    centers = {}
+
+    def load(version_key):
+        clique = version_key.split("-")[0]
+        if clique not in centers:
+            centers[clique] = rng.normal(size=(C,)).astype(np.float32)
+        noise = rng.normal(size=(T, C)).astype(np.float32) * 0.3
+        return centers[clique][None, :] + noise
+
+    return load
+
+
+class TestTrainStep:
+    def _setup(self, mesh=None, B=8):
+        model = ProjectionHead(zdim=16, hidden=(16,))
+        ex_emb = jnp.zeros((B, 12, 16), jnp.float32)
+        ex_mask = jnp.ones((B, 12), bool)
+        state = create_train_state(
+            model, (ex_emb, ex_mask), tx=make_optimizer(lr=1e-2, warmup_steps=1, max_steps=100)
+        )
+        step = make_train_step(model, clews_loss, mesh=mesh)
+        return model, state, step
+
+    def _batch(self, rng, B=8, T=12, C=16):
+        labels = np.repeat(np.arange(B // 2, dtype=np.int32), 2)
+        ids = np.arange(B, dtype=np.int32)
+        emb = rng.normal(size=(B, T, C)).astype(np.float32)
+        mask = np.ones((B, T), bool)
+        return {"labels": labels, "ids": ids, "emb": emb, "mask": mask}
+
+    def test_single_device_step(self, rng):
+        model, state, step = self._setup()
+        batch = self._batch(rng)
+        # copy before the step: donate_argnums frees the input state buffers
+        leaf0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+        new_state, logdict = step(state, batch)
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(logdict["loss"]))
+        # step 0 runs at lr=0 (linear warmup from 0); step 1 must move params
+        new_state, _ = step(new_state, batch)
+        leaf1 = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+        assert not np.allclose(leaf0, leaf1)
+
+    def test_mesh_step_matches_single(self, rng):
+        mesh = make_mesh()
+        model, state_a, step_a = self._setup()
+        _, state_b, step_b = self._setup(mesh=mesh)
+        batch = self._batch(rng)
+        _, ld_a = step_a(state_a, batch)
+        _, ld_b = step_b(state_b, batch)
+        np.testing.assert_allclose(float(ld_a["loss"]), float(ld_b["loss"]), rtol=1e-4)
+
+    def test_warmup_step_passed(self, rng):
+        model, state, step = self._setup()
+        batch = self._batch(rng)
+        _, ld = step(state, batch)
+        # at step 0, uniformity weight is warming up: 0.5/1000
+        np.testing.assert_allclose(float(ld["uniformity_weight"]), 0.5 / 1000, rtol=1e-4)
+
+
+class TestFit:
+    def test_loss_decreases(self):
+        md = _toy_md()
+        sampler = CliqueSampler(md, "train", _toy_loader(), n_per_class=2, seed=0)
+        model = ProjectionHead(zdim=8, hidden=(16,))
+        state = create_train_state(
+            model,
+            (jnp.zeros((8, 12, 16)), jnp.ones((8, 12), bool)),
+            tx=make_optimizer(lr=3e-3, warmup_steps=1, max_steps=200),
+        )
+        step = make_train_step(model, clews_loss)
+        writer = MetricsWriter(log_every=0)
+        state, writer = fit(
+            state, step, sampler,
+            batch_size=8, chunk_size=12, max_steps=60, writer=writer,
+        )
+        losses = [h["loss"] for h in writer.history]
+        assert len(losses) == 60
+        assert np.mean(losses[-10:]) < np.mean(losses[:10]), (
+            np.mean(losses[:10]), np.mean(losses[-10:]))
+
+    def test_batch_to_device_layout(self, rng):
+        from wealy_tpu.data.chunking import collate_fixed_length
+
+        items = [(0, [(1, rng.normal(size=(5, 4)).astype(np.float32)),
+                      (2, rng.normal(size=(5, 4)).astype(np.float32))])]
+        d = batch_to_device(collate_fixed_length(items, chunk_size=5))
+        assert d["emb"].shape == (2, 5, 4)
+        assert d["labels"].tolist() == [0, 0]
+        assert d["ids"].tolist() == [1, 2]
+
+
+class TestCheckpoint:
+    def test_save_restore(self, tmp_path, rng):
+        from wealy_tpu.train.checkpoint import CheckpointManager
+
+        model = ProjectionHead(zdim=8, hidden=(8,))
+        state = create_train_state(
+            model, (jnp.zeros((2, 4, 8)), jnp.ones((2, 4), bool))
+        )
+        mgr = CheckpointManager(tmp_path / "ckpt", keep_n=2)
+        mgr.save(0, {"params": state.params, "step": 0})
+        assert mgr.latest_step() == 0
+        restored = mgr.restore(0)
+        leaf_orig = jax.tree_util.tree_leaves(state.params)[0]
+        leaf_rest = jax.tree_util.tree_leaves(restored["params"])[0]
+        np.testing.assert_allclose(np.asarray(leaf_orig), np.asarray(leaf_rest))

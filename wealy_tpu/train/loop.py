@@ -1,0 +1,87 @@
+"""Training loop: sampler epochs -> collate -> device -> jitted step.
+
+Host-side orchestration only; all math lives in the jitted step. Metrics go
+through the ``(loss, logdict)`` channel to a pluggable writer (SURVEY.md §5.5:
+"route logdicts to a real metrics writer").
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from wealy_tpu.data.chunking import collate_fixed_length
+from wealy_tpu.data.sampler import CliqueSampler
+from wealy_tpu.train.state import TrainState
+
+
+class MetricsWriter:
+    """Default metrics sink: keeps a history list, prints every log_every."""
+
+    def __init__(self, log_every: int = 50, printer: Callable[[str], None] = print):
+        self.log_every = log_every
+        self.history: list[dict] = []
+        self.printer = printer
+
+    def write(self, step: int, logdict: dict) -> None:
+        scalars = {
+            k: float(v) for k, v in logdict.items() if np.ndim(v) == 0
+        }
+        scalars["step"] = step
+        self.history.append(scalars)
+        if self.log_every and step % self.log_every == 0:
+            parts = " ".join(
+                f"{k}={v:.4g}" for k, v in scalars.items() if k != "step"
+            )
+            self.printer(f"[step {step}] {parts}")
+
+
+def batch_to_device(batch, flatten: bool = True) -> dict:
+    """Collated Batch -> the dict layout the train step consumes."""
+    labels, ids, emb, mask = batch.flatten_versions()
+    return {
+        "labels": np.asarray(labels, np.int32),
+        "ids": np.asarray(ids, np.int32),
+        "emb": np.asarray(emb, np.float32),
+        "mask": np.asarray(mask),
+    }
+
+
+def fit(
+    state: TrainState,
+    train_step: Callable,
+    sampler: CliqueSampler,
+    *,
+    batch_size: int = 32,
+    chunk_size: int = 1000,
+    max_steps: int = 1000,
+    epochs: Optional[int] = None,
+    writer: Optional[MetricsWriter] = None,
+    checkpoint_manager=None,
+    checkpoint_every: int = 1000,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Run training until ``max_steps`` (or ``epochs``). Returns final state."""
+    writer = writer or MetricsWriter()
+    rng = rng or np.random.default_rng(0)
+    step = int(state.step)
+    epoch = 0
+    done = False
+    while not done and (epochs is None or epoch < epochs):
+        for items in sampler.epoch(shuffle=True, batch_size=batch_size):
+            batch = collate_fixed_length(
+                items, chunk_size=chunk_size, use_random_chunks=True, rng=rng
+            )
+            state, logdict = train_step(state, batch_to_device(batch))
+            step += 1
+            writer.write(step, logdict)
+            if checkpoint_manager is not None and step % checkpoint_every == 0:
+                checkpoint_manager.save(step, state)
+            if step >= max_steps:
+                done = True
+                break
+        epoch += 1
+    return state, writer

@@ -1,0 +1,93 @@
+"""Jitted train / eval steps with data-parallel sharding.
+
+One train step = model forward on the local batch shard -> all_gather
+embeddings over the ``data`` axis -> global-batch metric loss -> grads ->
+optimizer update. Batch inputs are sharded on dim 0; params/opt state are
+replicated. The ``(loss, logdict)`` channel is preserved end-to-end
+(SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from wealy_tpu.parallel.collectives import global_batch_loss
+from wealy_tpu.parallel.mesh import data_sharding, replicated
+from wealy_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model,
+    loss_fn: Callable,
+    mesh: Optional[Mesh] = None,
+    model_call: Optional[Callable] = None,
+):
+    """Build the jitted train step.
+
+    ``model_call(params, batch) -> z (B, zdim)`` adapts the model signature to
+    the batch dict; default assumes ``batch = {"emb": (B, T, C), "mask":
+    (B, T), "labels": (B,), "ids": (B,)}`` and a single-input head.
+
+    With a mesh, the loss consumes the all_gathered global batch; without, it
+    runs single-device (tests / 1-chip).
+    """
+    if model_call is None:
+
+        def model_call(params, batch):
+            return model.apply({"params": params}, batch["emb"], batch["mask"])
+
+    wrapped_loss = (
+        global_batch_loss(loss_fn, mesh) if mesh is not None else loss_fn
+    )
+
+    def _step(state: TrainState, batch: dict):
+        def compute(params):
+            z = model_call(params, batch)
+            loss, logdict = wrapped_loss(
+                batch["labels"], batch["ids"], z, {"global_step": state.step}
+            )
+            return loss, logdict
+
+        (loss, logdict), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        logdict = dict(logdict)
+        logdict["loss"] = loss
+        return new_state, logdict
+
+    if mesh is None:
+        return jax.jit(_step, donate_argnums=(0,))
+
+    batch_shardings = {
+        "emb": data_sharding(mesh, 3),
+        "mask": data_sharding(mesh, 2),
+        "labels": data_sharding(mesh, 1),
+        "ids": data_sharding(mesh, 1),
+    }
+    # batch sharded over the data axis; state left to jit (replicated)
+    return jax.jit(
+        _step,
+        donate_argnums=(0,),
+        in_shardings=(None, batch_shardings),
+        out_shardings=(None, None),
+    )
+
+
+def make_eval_embed_step(model, mesh: Optional[Mesh] = None, model_call=None):
+    """Jitted embedding pass for evaluation: batch -> z, batch-sharded."""
+    if model_call is None:
+
+        def model_call(params, emb, mask):
+            return model.apply({"params": params}, emb, mask)
+
+    if mesh is None:
+        return jax.jit(model_call)
+    return jax.jit(
+        model_call,
+        in_shardings=(None, data_sharding(mesh, 3), data_sharding(mesh, 2)),
+        out_shardings=data_sharding(mesh, 2),
+    )

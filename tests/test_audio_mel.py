@@ -83,9 +83,11 @@ class TestPallasMel:
         # interpret mode runs the kernel on CPU
         from jax.experimental.pallas import tpu as pltpu
 
-        from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas
+        # call the kernel path directly: the public wrapper falls back to jnp
+        # on CPU, which would make this test vacuous
+        from wealy_tpu.audio.pallas_mel import _log_mel_pallas_jit
 
         with pltpu.force_tpu_interpret_mode():
-            got = np.asarray(log_mel_spectrogram_pallas(clip))
+            got = np.asarray(_log_mel_pallas_jit(clip))
         want = np.asarray(Am.log_mel_spectrogram(clip))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

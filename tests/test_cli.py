@@ -1,0 +1,155 @@
+"""End-to-end CLI tests on CPU: validate-data, train (few steps), evaluate,
+and a tiny extract run (whisper-tiny random weights, 2 songs)."""
+
+import json
+import wave
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wealy_tpu.cli.main import main
+
+
+def _write_wav(path, seconds=1.0, sr=16000, freq=440.0):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    t = np.arange(int(seconds * sr)) / sr
+    x = (np.sin(2 * np.pi * freq * t) * 0.4 * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+
+
+@pytest.fixture
+def project(tmp_path):
+    """Full fixture: metadata CSVs + embedding store + config file."""
+    from wealy_tpu.data.embedding_store import EmbeddingStore
+
+    lc = tmp_path / "lc"
+    lc.mkdir()
+    rows = {
+        "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A"),
+                  (2, 200, False, "o", "B"), (2, 201, True, "c", "B")],
+        "val": [(3, 300, False, "o", "C"), (3, 301, True, "c", "C")],
+        "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D"),
+                 (5, 500, False, "o", "E"), (5, 501, True, "c", "E")],
+    }
+    for split, data in rows.items():
+        pd.DataFrame(
+            data, columns=["original_id", "id", "is_cover", "song_text_type", "label"]
+        ).to_csv(lc / f"{split}_no_dup.csv", index=False)
+
+    store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+    rng = np.random.default_rng(0)
+    centers = {}
+    for split, data in rows.items():
+        for _, vid, *_rest, label in [(r[0], r[1], *r[2:4], r[4]) for r in data]:
+            if label not in centers:
+                centers[label] = rng.normal(size=(24,)).astype(np.float32)
+            T = int(rng.integers(12, 20))
+            emb = centers[label][None] + 0.1 * rng.normal(size=(T, 24)).astype(np.float32)
+            store.save(str(vid), "hs_last_seq.npz", embeddings=emb)
+
+    conf = {
+        "path": {
+            "lyric_covers_data": str(lc),
+            "hidden_states": str(tmp_path / "hs"),
+            "cache": str(tmp_path / "cache"),
+            "data": str(tmp_path / "data"),
+            "checkpoints": str(tmp_path / "ckpt"),
+        },
+        "data": {
+            "dataset_name": "lyric-covers",
+            "embedding_type": "last_hidden_states",
+            "embedding_format": "concat",
+            "chunk_size": 8,
+            "use_random_chunks": True,
+        },
+        "model": {"name": "whisper", "zdim": 16, "whisper_size": "tiny"},
+        "train": {
+            "loss": "clews",
+            "batch_size": 4,
+            "lr": 3e-3,
+            "warmup_steps": 1,
+            "max_steps": 6,
+            "log_every": 0,
+            "checkpoint_every": 100,
+        },
+    }
+    cpath = tmp_path / "conf.json"
+    cpath.write_text(json.dumps(conf))
+    return tmp_path, cpath, rows
+
+
+class TestValidateData:
+    def test_ok(self, project, capsys):
+        _, cpath, _ = project
+        rc = main(["validate-data", "--config", str(cpath)])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["train"]["ok"] and out["train"]["n_versions"] == 4
+
+
+class TestTrainCLI:
+    def test_trains_and_checkpoints(self, project, capsys):
+        _, cpath, _ = project
+        rc = main(["train", "--config", str(cpath), "--max-steps", "6"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["final_step"] == 6
+        assert np.isfinite(out["final_loss"])
+
+
+class TestEvaluateCLI:
+    def test_eval_metrics(self, project, capsys):
+        tmp_path, cpath, _ = project
+        rc = main(["evaluate", "--config", str(cpath), "--split", "test",
+                   "--redux", "smean"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert 0.0 <= out["MAP"] <= 1.0
+        assert out["n_queries"] == 4
+        # fixture embeddings are strongly clique-clustered: near-perfect MAP
+        assert out["MAP"] > 0.9
+
+
+class TestExtractCLI:
+    def test_extract_two_songs(self, project, capsys):
+        tmp_path, cpath, rows = project
+        # audio for two train versions
+        base = tmp_path / "data" / "LyricCovers" / "audio"
+        for key in ("100", "101"):
+            _write_wav(base / key / f"{key}_audio.mp3", seconds=1.0)
+        # our WAV decoder keys off the extension; the reference layout names
+        # files .mp3 — write actual WAV bytes under .mp3 and decode via the
+        # wav path by monkeypatching is avoided: instead rely on extract's
+        # failure handling? No - simply check wav decoding fallback:
+        import wealy_tpu.audio.decode as dec
+
+        orig = dec.load_audio
+
+        def patched(path, sr=16000):
+            return dec._decode_wav(str(path))[0]
+
+        dec.load_audio = patched
+        import wealy_tpu.data.audio_dataset as AD
+
+        AD.load_audio = patched
+        try:
+            rc = main([
+                "extract", "--config", str(cpath), "--split", "train",
+                "--kinds", "x_concat", "--limit", "2", "--overwrite",
+            ])
+        finally:
+            dec.load_audio = orig
+            AD.load_audio = orig
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["done"] == 2 and out["failed"] == 0
+        from wealy_tpu.data.embedding_store import EmbeddingStore
+
+        store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+        data = store.load("100", "x_concat.npz")
+        assert data["embeddings"].shape == (1, 384)  # 1 chunk, tiny encoder dim

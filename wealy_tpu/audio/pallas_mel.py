@@ -52,14 +52,25 @@ def _mel_kernel(frames_ref, wcos_ref, wsin_ref, mel_ref, out_ref):
     out_ref[0] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 
-@functools.partial(jax.jit, static_argnames=("n_mels",))
 def log_mel_spectrogram_pallas(audio, n_mels: int = 80):
-    """Whisper log-mel via the fused Pallas kernel.
+    """Whisper log-mel via the fused Pallas kernel (TPU), falling back to the
+    jnp path on non-TPU backends where Mosaic kernels cannot compile.
 
     audio: (B, N_SAMPLES) or (N_SAMPLES,) float32 -> (B, n_mels, N_FRAMES).
     Numerically identical to :func:`wealy_tpu.audio.mel.log_mel_spectrogram`
     up to float-associativity.
     """
+    if jax.default_backend() != "tpu":
+        from wealy_tpu.audio.mel import log_mel_spectrogram
+
+        return jax.jit(log_mel_spectrogram, static_argnames="n_mels")(
+            audio, n_mels=n_mels
+        )
+    return _log_mel_pallas_jit(audio, n_mels=n_mels)
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def _log_mel_pallas_jit(audio, n_mels: int = 80):
     if audio.ndim == 1:
         audio = audio[None]
         squeeze = True

@@ -1,0 +1,214 @@
+"""CLI dispatcher: extract / train / evaluate / validate-data."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_config(path: str):
+    from wealy_tpu.train.config import Config
+
+    return Config.from_json(path)
+
+
+def cmd_validate_data(args) -> int:
+    from wealy_tpu.data.dataset import build_clean_dataset, validate_data_structures
+
+    config = _load_config(args.config)
+    md, clique2id = build_clean_dataset(config, verbose=True, check_audio=args.check_audio)
+    reports = {s: validate_data_structures(md, s) for s in ("train", "val", "test")}
+    print(json.dumps(reports, indent=2))
+    return 0 if all(r["ok"] for r in reports.values()) else 1
+
+
+def cmd_extract(args) -> int:
+    from wealy_tpu.cli.extract import extract_split
+    from wealy_tpu.data.dataset import build_clean_dataset
+
+    config = _load_config(args.config)
+    md, _ = build_clean_dataset(config, check_audio=True)
+    result = extract_split(
+        config,
+        md,
+        args.split,
+        kinds=tuple(args.kinds.split(",")),
+        hf_checkpoint=args.hf_checkpoint,
+        limit=args.limit,
+        overwrite=args.overwrite,
+    )
+    print(
+        json.dumps(
+            {k: len(v) for k, v in result.items()}
+            | {"failed_keys": result["failed"][:20]}
+        )
+    )
+    return 0 if not result["failed"] else 1
+
+
+def cmd_train(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wealy_tpu.data.dataset import EmbeddingDataset
+    from wealy_tpu.losses import get_loss
+    from wealy_tpu.models.registry import build_model
+    from wealy_tpu.parallel.mesh import make_mesh
+    from wealy_tpu.train import create_train_state, make_train_step
+    from wealy_tpu.train.checkpoint import CheckpointManager
+    from wealy_tpu.train.loop import MetricsWriter, fit
+    from wealy_tpu.train.state import make_optimizer
+
+    config = _load_config(args.config)
+    ds = EmbeddingDataset(config, "train", seed=config.train.seed)
+    model, sig = build_model(config.model.name, zdim=config.model.zdim)
+    if sig != "single":
+        print(
+            f"train CLI currently drives single-input heads; {config.model.name} "
+            "requires the multimodal trainer (wealy_tpu.train.loop with a custom "
+            "model_call)",
+            file=sys.stderr,
+        )
+        return 2
+
+    loss_fn = get_loss(config.train.loss)
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+
+    # probe one item for the embedding dim
+    _, versions = ds[0]
+    emb_dim = versions[0][1].shape[-1]
+    L = config.data.chunk_size
+    state = create_train_state(
+        model,
+        (jnp.zeros((2, L, emb_dim)), jnp.ones((2, L), bool)),
+        tx=make_optimizer(
+            lr=config.train.lr,
+            weight_decay=config.train.weight_decay,
+            warmup_steps=config.train.warmup_steps,
+            max_steps=config.train.max_steps,
+        ),
+        seed=config.train.seed,
+    )
+    step = make_train_step(model, loss_fn, mesh=mesh)
+    ckpt = (
+        CheckpointManager(config.path.checkpoints)
+        if config.path.checkpoints
+        else None
+    )
+    writer = MetricsWriter(log_every=config.train.log_every)
+    state, writer = fit(
+        state,
+        step,
+        ds.sampler,
+        batch_size=config.train.batch_size,
+        chunk_size=L,
+        max_steps=args.max_steps or config.train.max_steps,
+        writer=writer,
+        checkpoint_manager=ckpt,
+        checkpoint_every=config.train.checkpoint_every,
+        rng=np.random.default_rng(config.train.seed),
+    )
+    if ckpt is not None:
+        ckpt.save(int(state.step), {"params": state.params, "step": int(state.step)})
+    last = writer.history[-1] if writer.history else {}
+    print(json.dumps({"final_step": int(state.step), "final_loss": last.get("loss")}))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wealy_tpu.data.chunking import collate_overlapping
+    from wealy_tpu.data.dataset import EmbeddingDataset
+    from wealy_tpu.eval.retrieval import evaluate_retrieval, regroup_chunks
+    from wealy_tpu.models.registry import build_model
+    from wealy_tpu.train.checkpoint import CheckpointManager
+
+    config = _load_config(args.config)
+    ds = EmbeddingDataset(config, args.split, seed=0)
+    model, sig = build_model(config.model.name, zdim=config.model.zdim)
+    if sig != "single":
+        print("evaluate CLI currently drives single-input heads", file=sys.stderr)
+        return 2
+
+    # one item per version: (label, [(id, emb)])
+    items = [
+        (ds.sampler.labels[ds.sampler.clique_of[v]], [(int(ds.metadata.info[v]["id"]), ds.load_embedding(v))])
+        for v in ds.sampler.versions
+    ]
+    batch = collate_overlapping(
+        items,
+        chunk_size=config.data.chunk_size,
+        overlap=config.data.overlap_percentage,
+    )
+
+    import jax
+
+    params = None
+    if args.checkpoint or config.path.checkpoints:
+        mgr = CheckpointManager(args.checkpoint or config.path.checkpoints)
+        if mgr.latest_step() is not None:
+            params = mgr.restore()["params"]
+    if params is None:
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, config.data.chunk_size, batch.embeddings.shape[-1])),
+            jnp.ones((1, config.data.chunk_size), bool),
+        )["params"]
+
+    embed = jax.jit(lambda e, m: model.apply({"params": params}, e, m))
+    z = np.asarray(embed(jnp.asarray(batch.embeddings), jnp.asarray(batch.masks)))
+
+    sets, set_mask, batch_idx, _ = regroup_chunks(z, batch.chunk_info, batch.chunk_valid)
+    labels = np.array([items[i][0] for i in batch_idx])
+    ids = np.array([items[i][1][0][0] for i in batch_idx])
+    metrics = evaluate_retrieval(
+        sets, set_mask, labels, version_ids=ids, redux=args.redux
+    )
+    metrics.pop("_dist")
+    print(json.dumps(metrics))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="wealy_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    v = sub.add_parser("validate-data", help="build + validate dataset metadata")
+    v.add_argument("--config", required=True)
+    v.add_argument("--check-audio", action="store_true")
+    v.set_defaults(fn=cmd_validate_data)
+
+    e = sub.add_parser("extract", help="extract Whisper embeddings to the store")
+    e.add_argument("--config", required=True)
+    e.add_argument("--split", default="train")
+    e.add_argument("--kinds", default="x_concat,hs_last_seq")
+    e.add_argument("--hf-checkpoint", default=None)
+    e.add_argument("--limit", type=int, default=None)
+    e.add_argument("--overwrite", action="store_true")
+    e.set_defaults(fn=cmd_extract)
+
+    t = sub.add_parser("train", help="metric-learning training")
+    t.add_argument("--config", required=True)
+    t.add_argument("--max-steps", type=int, default=None)
+    t.set_defaults(fn=cmd_train)
+
+    ev = sub.add_parser("evaluate", help="MAP/MR1 retrieval evaluation")
+    ev.add_argument("--config", required=True)
+    ev.add_argument("--split", default="test")
+    ev.add_argument("--checkpoint", default=None)
+    ev.add_argument("--redux", default="bpwr")
+    ev.set_defaults(fn=cmd_evaluate)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

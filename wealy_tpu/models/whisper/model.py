@@ -37,11 +37,18 @@ def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.
 
 
 class MultiHeadAttention(nn.Module):
-    """Whisper-style MHA: q/k scaled by d_head**-0.25 each, k_proj has no bias."""
+    """Whisper-style MHA: q/k scaled by d_head**-0.25 each, k_proj has no bias.
+
+    ``use_flash``: route mask-free, cache-free self-attention (the encoder
+    case) through the fused Pallas kernel (wealy_tpu.ops.flash_attention),
+    which never materializes the (T, T) score matrix in HBM. Masked/causal/
+    cached paths (decoder) keep the XLA einsum implementation.
+    """
 
     n_state: int
     n_head: int
     dtype: Any = jnp.bfloat16
+    use_flash: bool = True
 
     @nn.compact
     def __call__(
@@ -78,6 +85,20 @@ class MultiHeadAttention(nn.Module):
             new_cache = (ck, cv)
         else:
             new_cache = None
+
+        if (
+            self.use_flash
+            and mask is None
+            and kv_cache is None
+            and xa is None
+            and q.shape[1] >= 256
+        ):
+            from wealy_tpu.ops.flash_attention import flash_mha
+
+            out = flash_mha(q, k, v, Dh**-0.5)
+            out = out.reshape(B, Tq, D).astype(self.dtype)
+            out = nn.Dense(D, dtype=self.dtype, name="out")(out)
+            return out, None
 
         scale = Dh**-0.25
         logits = jnp.einsum(

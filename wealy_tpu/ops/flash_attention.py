@@ -1,0 +1,121 @@
+"""Fused non-causal multi-head attention for the Whisper encoder (Pallas).
+
+Design (vs generic flash attention): Whisper's encoder attends over a fixed
+1500-frame sequence with head_dim 64. A full K/V pair for one head is only
+~2x190 KB in bf16 — it fits comfortably in VMEM. So instead of online-softmax
+tiling over K, the kernel keeps K and V resident, computes a (block_q, seq)
+score tile in fp32, does one exact softmax pass, and multiplies into V — one
+grid step per (batch*head, q-block), zero HBM traffic for the score matrix.
+The XLA path materializes (B, H, T, T) fp32 logits in HBM (~54 MB per
+tiny-encoder clip); this kernel eliminates that entirely.
+
+VMEM per grid cell at block_q=512, seq=1536, d=64 (bf16 K/V, fp32 scores):
+  K 192K + V 192K + Q 64K + scores 3.1M + out 64K  ≈ 3.6 MB — well in budget.
+
+Backward: recompute-based custom VJP (differentiates the reference einsum
+attention under jax.vjp). Training still avoids materializing the forward
+score matrix; the backward pays the standard quadratic cost.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
+    """One (batch*head, q-block) grid step; K/V fully resident."""
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (seq_pad, d)
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale  # (block_q, seq_pad)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    p = (p / l).astype(v_ref.dtype)
+    o = jax.lax.dot(p, v_ref[0], preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _reference_mha(q, k, v, scale):
+    """XLA einsum attention — numerics ground truth and backward-pass body."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(s * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v, preferred_element_type=jnp.float32).astype(
+        q.dtype
+    )
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _flash_mha_fwd_impl(q, k, v, scale: float, block_q: int):
+    B, T, H, D = q.shape
+    Tk = k.shape[1]
+    bq = min(block_q, _round_up(T, 128))
+    Tq_pad = _round_up(T, bq)
+    Tk_pad = _round_up(Tk, 128)
+
+    def to_bh(x, t_pad):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+        if x.shape[1] != t_pad:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
+        return x
+
+    qb = to_bh(q, Tq_pad)
+    kb = to_bh(k, Tk_pad)
+    vb = to_bh(v, Tk_pad)
+
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel, scale=scale, seq_len=Tk),
+        grid=(B * H, Tq_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, Tk_pad, D), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, Tk_pad, D), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Tq_pad, D), q.dtype),
+    )(qb, kb, vb)
+    out = out[:, :T].reshape(B, H, T, D)
+    return jnp.swapaxes(out, 1, 2)  # (B, T, H, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_mha(q, k, v, scale: float, block_q: int = DEFAULT_BLOCK_Q):
+    """Non-causal MHA: q (B, Tq, H, D), k/v (B, Tk, H, D) -> (B, Tq, H, D).
+
+    ``scale`` multiplies the raw q@k^T logits (pass 1/sqrt(D) for standard
+    attention). On non-TPU backends this falls back to the XLA einsum path.
+    """
+    if jax.default_backend() != "tpu":
+        return _reference_mha(q, k, v, scale)
+    return _flash_mha_fwd_impl(q, k, v, scale, block_q)
+
+
+def _fwd(q, k, v, scale, block_q):
+    return flash_mha(q, k, v, scale, block_q), (q, k, v)
+
+
+def _bwd(scale, block_q, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q, k, v: _reference_mha(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+flash_mha.defvjp(_fwd, _bwd)

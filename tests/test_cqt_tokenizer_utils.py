@@ -1,0 +1,121 @@
+"""Tests for the CQT frontend, BPE tokenizer, profiling utils, multihost."""
+
+import json
+
+import numpy as np
+import pytest
+
+from wealy_tpu.audio.cqt import cqt_filterbank, cqt_spectrogram
+from wealy_tpu.data.tokenizer import ByteLevelBPE
+from wealy_tpu.utils.profiling import ThroughputMeter, trace_span
+
+
+class TestCQT:
+    def test_filterbank_shape_and_coverage(self):
+        fb = cqt_filterbank(n_bins=84)
+        assert fb.shape == (1025, 84)
+        assert fb.min() >= 0
+        # every bin has some support
+        assert (fb.sum(axis=0) > 0).all()
+
+    def test_tone_lands_in_right_bin(self):
+        # 440 Hz = A4 = C1 * 2**(45/12) -> bin index 45
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+        x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+        cqt = np.asarray(cqt_spectrogram(x))
+        assert cqt.shape[0] == 84
+        profile = cqt.mean(axis=1)
+        assert abs(int(profile.argmax()) - 45) <= 1
+
+    def test_octave_shift_moves_12_bins(self):
+        sr = 16000
+        t = np.arange(sr) / sr
+        a = np.asarray(cqt_spectrogram(np.sin(2 * np.pi * 220.0 * t).astype(np.float32)))
+        b = np.asarray(cqt_spectrogram(np.sin(2 * np.pi * 440.0 * t).astype(np.float32)))
+        assert abs((b.mean(1).argmax() - a.mean(1).argmax()) - 12) <= 1
+
+    def test_batched(self, rng):
+        x = rng.normal(size=(2, 16000)).astype(np.float32)
+        out = cqt_spectrogram(x)
+        assert out.ndim == 3 and out.shape[0] == 2 and out.shape[1] == 84
+
+    def test_feeds_clews_encoder(self, rng):
+        import jax
+        from wealy_tpu.models.clews_encoder import ClewsEncoder
+
+        x = rng.normal(size=(1, 16000)).astype(np.float32)
+        cqt = np.asarray(cqt_spectrogram(x))[..., None]  # (1, 84, T, 1)
+        # crop time to a multiple-friendly size
+        cqt = cqt[:, :, :24, :]
+        enc = ClewsEncoder(embed_dim=32, stem=8, stages=((8, 2),), blocks_per_stage=1)
+        variables = enc.init(jax.random.PRNGKey(0), cqt, train=False)
+        z = enc.apply(variables, cqt, train=False)
+        assert z.shape == (1, 32)
+
+
+@pytest.fixture
+def bpe(tmp_path):
+    # tiny vocab covering 'hello world' byte tokens
+    from wealy_tpu.data.tokenizer import _bytes_to_unicode
+
+    b2u = _bytes_to_unicode()
+    chars = sorted({b2u[b] for b in "hello world!".encode()})
+    vocab = {c: i for i, c in enumerate(chars)}
+    # merges: he, ll, llo
+    merges = [("h", "e"), ("l", "l"), ("ll", "o")]
+    for a, b in merges:
+        vocab[a + b] = len(vocab)
+    vocab["<|eot|>"] = 99
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version\n" + "\n".join(f"{a} {b}" for a, b in merges))
+    (tmp_path / "special_tokens.json").write_text(json.dumps({"<|eot|>": 99}))
+    return ByteLevelBPE.from_dir(tmp_path)
+
+
+class TestBPE:
+    def test_roundtrip(self, bpe):
+        ids = bpe.encode("hello")
+        assert bpe.decode(ids) == "hello"
+        # merges applied: 'he' + 'llo'
+        assert len(ids) == 2
+
+    def test_space_handling(self, bpe):
+        ids = bpe.encode("hello world")
+        assert bpe.decode(ids) == "hello world"
+
+    def test_special_tokens_skipped(self, bpe):
+        ids = bpe.encode("hello") + [99]
+        assert bpe.decode(ids) == "hello"
+        assert bpe.decode(ids, skip_special=False).endswith("<|eot|>")
+
+    def test_unknown_ids_ignored(self, bpe):
+        assert bpe.decode([12345]) == ""
+
+
+class TestProfiling:
+    def test_throughput_meter(self):
+        import time
+
+        m = ThroughputMeter(window=10, n_chips=2)
+        for _ in range(5):
+            m.tick(8)
+            time.sleep(0.01)
+        r = m.report()
+        assert r["total_items"] == 40
+        assert r["items_per_sec"] > 0
+        assert r["items_per_sec_per_chip"] == pytest.approx(r["items_per_sec"] / 2)
+
+    def test_trace_span_noop(self):
+        with trace_span("test"):
+            x = 1 + 1
+        assert x == 2
+
+
+class TestMultihost:
+    def test_single_process_report(self):
+        from wealy_tpu.parallel.multihost import initialize_multihost, is_primary_host
+
+        info = initialize_multihost()
+        assert info["process_count"] == 1
+        assert is_primary_host()

@@ -1,0 +1,43 @@
+"""Multi-host initialization (SURVEY.md §5.8 — new vs the reference).
+
+One call at program start on every host; afterwards ``jax.devices()`` spans
+the full slice and the standard Mesh/pjit machinery in this package works
+unchanged (collectives ride ICI within a slice, DCN across slices only at
+host-input boundaries).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> dict:
+    """Initialize jax.distributed when running multi-process; no-op (with a
+    report) in single-process settings.
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly only for CPU/GPU multi-process testing.
+    """
+    already = jax.process_count() > 1
+    if not already and (coordinator_address or num_processes):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def is_primary_host() -> bool:
+    return jax.process_index() == 0

@@ -71,7 +71,18 @@ def load_audio(path: str | Path, sr: int = SAMPLE_RATE) -> np.ndarray:
     """
     path = str(path)
     if path.lower().endswith(".wav"):
-        x, file_sr = _decode_wav(path)
+        x = None
+        try:
+            # native C++ decoder first (handles 24-bit / float / extensible
+            # WAVs the stdlib module rejects, and downmixes in one pass)
+            from wealy_tpu import native
+
+            if native.available():
+                x, file_sr = native.decode_wav_bytes(Path(path).read_bytes())
+        except (ValueError, RuntimeError):
+            x = None
+        if x is None:
+            x, file_sr = _decode_wav(path)
         if file_sr != sr:
             from wealy_tpu.audio.resample import resample
 

@@ -19,12 +19,19 @@ from wealy_tpu.train.state import TrainState
 
 
 class MetricsWriter:
-    """Default metrics sink: keeps a history list, prints every log_every."""
+    """Metrics sink for the (loss, logdict) channel: in-memory history,
+    periodic printing, and optional JSONL persistence (one record per step)."""
 
-    def __init__(self, log_every: int = 50, printer: Callable[[str], None] = print):
+    def __init__(
+        self,
+        log_every: int = 50,
+        printer: Callable[[str], None] = print,
+        jsonl_path: Optional[str] = None,
+    ):
         self.log_every = log_every
         self.history: list[dict] = []
         self.printer = printer
+        self._jsonl = open(jsonl_path, "a") if jsonl_path else None
 
     def write(self, step: int, logdict: dict) -> None:
         scalars = {
@@ -32,11 +39,21 @@ class MetricsWriter:
         }
         scalars["step"] = step
         self.history.append(scalars)
+        if self._jsonl is not None:
+            import json
+
+            self._jsonl.write(json.dumps(scalars) + "\n")
+            self._jsonl.flush()
         if self.log_every and step % self.log_every == 0:
             parts = " ".join(
                 f"{k}={v:.4g}" for k, v in scalars.items() if k != "step"
             )
             self.printer(f"[step {step}] {parts}")
+
+    def close(self) -> None:
+        if self._jsonl is not None:
+            self._jsonl.close()
+            self._jsonl = None
 
 
 def batch_to_device(batch, flatten: bool = True) -> dict:

@@ -51,6 +51,18 @@ def project(tmp_path):
             T = int(rng.integers(12, 20))
             emb = centers[label][None] + 0.1 * rng.normal(size=(T, 24)).astype(np.float32)
             store.save(str(vid), "hs_last_seq.npz", embeddings=emb)
+            # multimodal files for the fusion-model training path
+            store.save(
+                str(vid), "hs_wealy_concat.npz",
+                embeddings=centers[label][None, :16].repeat(2, 0)
+                + 0.1 * rng.normal(size=(2, 16)).astype(np.float32),
+            )
+            store.save(
+                str(vid), "hs_clews.npz",
+                embeddings=rng.normal(size=(6, 12)).astype(np.float32),
+            )
+            store.save(str(vid), "hs_clews_avg.npz", embeddings=rng.normal(size=(12,)).astype(np.float32))
+            store.save(str(vid), "hs_clews_mask.npz", embeddings=np.zeros(6, bool))
 
     conf = {
         "path": {
@@ -99,6 +111,22 @@ class TestTrainCLI:
         assert rc == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["final_step"] == 6
+        assert np.isfinite(out["final_loss"])
+
+    @pytest.mark.parametrize("name", ["wealy-clews", "multimodal-two-stream"])
+    def test_trains_multimodal(self, project, capsys, name):
+        tmp_path, cpath, _ = project
+        conf = json.loads(cpath.read_text())
+        conf["model"]["name"] = name
+        conf["model"]["zdim"] = 16
+        conf["data"]["chunk_size"] = 8
+        conf["path"]["checkpoints"] = str(tmp_path / f"ckpt_{name}")
+        cpath2 = tmp_path / f"conf_{name}.json"
+        cpath2.write_text(json.dumps(conf))
+        rc = main(["train", "--config", str(cpath2), "--max-steps", "4"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["final_step"] == 4
         assert np.isfinite(out["final_loss"])
 
 
@@ -153,3 +181,36 @@ class TestExtractCLI:
         store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
         data = store.load("100", "x_concat.npz")
         assert data["embeddings"].shape == (1, 384)  # 1 chunk, tiny encoder dim
+
+
+class TestEvaluateMultimodalCLI:
+    @pytest.mark.parametrize("name", ["wealy-clews", "multimodal-two-stream"])
+    def test_eval_runs(self, project, capsys, name):
+        tmp_path, cpath, _ = project
+        conf = json.loads(cpath.read_text())
+        conf["model"]["name"] = name
+        conf["model"]["zdim"] = 16
+        conf["data"]["chunk_size"] = 8
+        conf["path"]["checkpoints"] = str(tmp_path / f"nockpt_{name}")
+        cpath2 = tmp_path / f"conf_eval_{name}.json"
+        cpath2.write_text(json.dumps(conf))
+        rc = main(["evaluate", "--config", str(cpath2), "--split", "test"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert 0.0 <= out["MAP"] <= 1.0 and out["n_queries"] == 4
+
+
+class TestWealySongEval:
+    def test_chunk_set_scoring(self):
+        from wealy_tpu.eval.wealy import evaluate_wealy_songs
+
+        rng = np.random.default_rng(0)
+        base = {0: rng.normal(size=16).astype(np.float32),
+                1: rng.normal(size=16).astype(np.float32)}
+        songs = []
+        for vid, (label, nch) in enumerate([(0, 3), (0, 2), (1, 4), (1, 1)]):
+            chunks = base[label][None] + 0.05 * rng.normal(size=(nch, 16)).astype(np.float32)
+            songs.append({"clique_id": label, "version_id": vid,
+                          "wealy_all_chunks": chunks})
+        m = evaluate_wealy_songs(songs, redux="smean")
+        assert m["MAP"] == 1.0 and m["MR1"] == 1.0

@@ -1,0 +1,107 @@
+"""Tests for the batched extraction driver: cross-song chunk batching,
+resume-skip, completeness of per-song accumulators."""
+
+import json
+import wave
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wealy_tpu.cli.extract_batched import extract_split_batched
+from wealy_tpu.data.embedding_store import EmbeddingStore
+from wealy_tpu.data.metadata import load_lyric_covers
+from wealy_tpu.train.config import Config
+
+
+@pytest.fixture
+def setup(tmp_path, monkeypatch):
+    lc = tmp_path / "lc"
+    lc.mkdir()
+    rows = {
+        "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A"),
+                  (2, 200, False, "o", "B")],
+        "val": [], "test": [],
+    }
+    for split, data in rows.items():
+        pd.DataFrame(
+            data, columns=["original_id", "id", "is_cover", "song_text_type", "label"]
+        ).to_csv(lc / f"{split}_no_dup.csv", index=False)
+    md = load_lyric_covers(lc)
+
+    # songs of 1, 2 and 3 chunk lengths (shrink N_SAMPLES via monkeypatch to
+    # keep it fast: patch chunking at the driver level)
+    import wealy_tpu.cli.extract_batched as EB
+
+    monkeypatch.setattr(EB, "N_SAMPLES", 1000)
+    monkeypatch.setattr(
+        EB, "chunk_waveform", lambda a: __import__(
+            "wealy_tpu.models.whisper.extract", fromlist=["chunk_waveform"]
+        ).chunk_waveform(a, 1000)
+    )
+
+    durations = {"100": 900, "101": 1800, "200": 2600}
+
+    import wealy_tpu.data.audio_dataset as AD
+
+    def fake_find(ds, root, key):
+        return key  # sentinel; load_audio patched below
+
+    monkeypatch.setattr(AD, "find_audio_path", fake_find)
+    monkeypatch.setattr(
+        AD, "load_audio",
+        lambda path, sr=16000: np.full(durations[str(path)], float(str(path)) / 1000, np.float32),
+    )
+
+    config = Config.from_dict(
+        {
+            "path": {
+                "lyric_covers_data": str(lc),
+                "hidden_states": str(tmp_path / "hs"),
+                "cache": str(tmp_path / "cache"),
+                "data": str(tmp_path / "data"),
+            },
+            "data": {"dataset_name": "lyric-covers"},
+        }
+    )
+    return config, md, tmp_path
+
+
+def _mean_embed(audio):
+    # fake embed_fn: per-chunk mean + index so scatter order is checkable
+    import jax.numpy as jnp
+
+    return jnp.stack([jnp.mean(audio, axis=1), jnp.max(audio, axis=1)], axis=1)
+
+
+class TestBatchedExtraction:
+    def test_all_songs_complete(self, setup):
+        config, md, tmp_path = setup
+        result = extract_split_batched(
+            config, md, "train", _mean_embed, kind="x_concat", batch_size=4
+        )
+        assert sorted(result["done"]) == ["100", "101", "200"]
+        assert result["incomplete"] == []
+        store = EmbeddingStore(config.path.hidden_states, "lyric-covers")
+        out = store.load("200", "x_concat.npz")
+        assert out["embeddings"].shape == (3, 2)  # 2600 samples -> 3 chunks
+        # first chunk full of 0.2 -> mean 0.2; last chunk 600/1000 filled
+        np.testing.assert_allclose(out["embeddings"][0, 0], 0.2, atol=1e-3)
+        np.testing.assert_allclose(out["embeddings"][2, 0], 0.2 * 0.6, atol=1e-3)
+
+    def test_resume_skips_existing(self, setup):
+        config, md, tmp_path = setup
+        store = EmbeddingStore(config.path.hidden_states, "lyric-covers")
+        store.save("100", "x_concat.npz", embeddings=np.zeros((1, 2), np.float32))
+        result = extract_split_batched(
+            config, md, "train", _mean_embed, kind="x_concat", batch_size=4
+        )
+        assert result["skipped"] == 1
+        assert sorted(result["done"]) == ["101", "200"]
+
+    def test_throughput_reported(self, setup):
+        config, md, _ = setup
+        result = extract_split_batched(
+            config, md, "train", _mean_embed, kind="x_concat", batch_size=2
+        )
+        assert result["throughput"]["total_items"] == 6  # 1+2+3 chunks

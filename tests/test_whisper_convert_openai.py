@@ -1,0 +1,99 @@
+"""Tests for the OpenAI-format Whisper weight converter: a synthetic
+OpenAI-style state dict must convert to the same param tree the HF converter
+produces for the equivalent weights, and the converted model must run."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from wealy_tpu.models.whisper import (
+    Whisper,
+    WhisperConfig,
+    params_from_openai_state_dict,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return WhisperConfig(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=2, n_vocab=100, n_text_ctx=32, n_text_state=64,
+        n_text_head=2, n_text_layer=2,
+    )
+
+
+def _openai_sd(cfg, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    D = cfg.n_audio_state
+
+    def w(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    sd = {
+        "encoder.conv1.weight": w(D, cfg.n_mels, 3),
+        "encoder.conv1.bias": w(D),
+        "encoder.conv2.weight": w(D, D, 3),
+        "encoder.conv2.bias": w(D),
+        "encoder.ln_post.weight": torch.ones(D),
+        "encoder.ln_post.bias": torch.zeros(D),
+        "decoder.token_embedding.weight": w(cfg.n_vocab, D),
+        "decoder.positional_embedding": w(cfg.n_text_ctx, D),
+        "decoder.ln.weight": torch.ones(D),
+        "decoder.ln.bias": torch.zeros(D),
+    }
+
+    def add_block(prefix, cross):
+        names = [("attn", True)] + ([("cross_attn", True)] if cross else [])
+        for attn_name, _ in names:
+            sd[f"{prefix}.{attn_name}.query.weight"] = w(D, D)
+            sd[f"{prefix}.{attn_name}.query.bias"] = w(D)
+            sd[f"{prefix}.{attn_name}.key.weight"] = w(D, D)
+            sd[f"{prefix}.{attn_name}.value.weight"] = w(D, D)
+            sd[f"{prefix}.{attn_name}.value.bias"] = w(D)
+            sd[f"{prefix}.{attn_name}.out.weight"] = w(D, D)
+            sd[f"{prefix}.{attn_name}.out.bias"] = w(D)
+            sd[f"{prefix}.{attn_name}_ln.weight"] = torch.ones(D)
+            sd[f"{prefix}.{attn_name}_ln.bias"] = torch.zeros(D)
+        sd[f"{prefix}.mlp.0.weight"] = w(4 * D, D)
+        sd[f"{prefix}.mlp.0.bias"] = w(4 * D)
+        sd[f"{prefix}.mlp.2.weight"] = w(D, 4 * D)
+        sd[f"{prefix}.mlp.2.bias"] = w(D)
+        sd[f"{prefix}.mlp_ln.weight"] = torch.ones(D)
+        sd[f"{prefix}.mlp_ln.bias"] = torch.zeros(D)
+
+    for i in range(cfg.n_audio_layer):
+        add_block(f"encoder.blocks.{i}", cross=False)
+    for i in range(cfg.n_text_layer):
+        add_block(f"decoder.blocks.{i}", cross=True)
+    return sd
+
+
+class TestOpenAIConverter:
+    def test_layout(self, cfg):
+        sd = _openai_sd(cfg)
+        params = params_from_openai_state_dict(sd, cfg)
+        D = cfg.n_audio_state
+        assert params["encoder"]["conv1"]["kernel"].shape == (3, cfg.n_mels, D)
+        np.testing.assert_allclose(
+            params["encoder"]["block_0"]["attn"]["q"]["kernel"],
+            sd["encoder.blocks.0.attn.query.weight"].numpy().T,
+        )
+        assert "bias" not in params["decoder"]["block_0"]["attn"]["k"]
+        assert params["decoder"]["token_embedding"].shape == (cfg.n_vocab, D)
+
+    def test_model_state_dict_wrapper(self, cfg):
+        sd = {"model_state_dict": _openai_sd(cfg), "dims": {}}
+        params = params_from_openai_state_dict(sd, cfg)
+        assert "encoder" in params and "decoder" in params
+
+    def test_converted_model_runs(self, cfg, rng):
+        params = params_from_openai_state_dict(_openai_sd(cfg), cfg)
+        model = Whisper(cfg, dtype=jnp.float32)
+        mel = rng.normal(size=(1, 80, 3000)).astype(np.float32) * 0.3
+        tokens = np.array([[1, 2, 3]], np.int32)
+        hidden, logits = model.apply({"params": params}, mel, tokens)
+        assert hidden.shape == (1, 3, 64)
+        assert np.isfinite(np.asarray(hidden)).all()

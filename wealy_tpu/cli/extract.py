@@ -35,10 +35,17 @@ def load_whisper_model(config: Config, hf_checkpoint: Optional[str] = None):
     if hf_checkpoint:
         import torch
 
+        from wealy_tpu.models.whisper import params_from_openai_state_dict
+
         sd = torch.load(hf_checkpoint, map_location="cpu")
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-        params = params_from_hf_state_dict(sd, cfg)
+        if "model_state_dict" in sd or any(
+            k.startswith("encoder.blocks.") for k in sd
+        ):
+            params = params_from_openai_state_dict(sd, cfg)
+        else:
+            params = params_from_hf_state_dict(sd, cfg)
     else:
         mel0 = jnp.zeros((1, cfg.n_mels, 3000), jnp.float32)
         params = model.init(

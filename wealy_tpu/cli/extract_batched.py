@@ -1,0 +1,150 @@
+"""Batched, device-saturating embedding extraction.
+
+``extract_split`` (extract.py) runs one song at a time — correct but leaves
+the chip idle on short songs. This driver packs 30 s chunks from MANY songs
+into fixed-size device batches (one jit signature), keeps the host decode
+running ahead via the prefetch thread, shards the batch over the mesh when
+one is available, and scatters per-chunk embeddings back into per-song
+accumulators that flush to the store as soon as a song completes.
+
+This is the production Phase-A pipeline of SURVEY.md §2.8 item 3: batch dim
+sharded over chips (ICI), host data loading per-process.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wealy_tpu.audio.mel import N_SAMPLES
+from wealy_tpu.data.audio_dataset import AudioDataset
+from wealy_tpu.data.embedding_store import EmbeddingStore
+from wealy_tpu.data.metadata import Metadata
+from wealy_tpu.models.whisper.extract import chunk_waveform
+from wealy_tpu.train.config import Config
+from wealy_tpu.utils.prefetch import prefetch
+from wealy_tpu.utils.profiling import ThroughputMeter
+
+
+@dataclasses.dataclass
+class _SongAcc:
+    version_key: str
+    n_chunks: int
+    received: int = 0
+    embeddings: Optional[np.ndarray] = None  # (n_chunks, D)
+
+
+def _chunk_stream(ds: AudioDataset, limit: Optional[int]) -> Iterator[Tuple[str, int, int, np.ndarray]]:
+    """Yield (version_key, chunk_idx, n_chunks, chunk_audio) host-side."""
+    versions = ds.versions[:limit] if limit else ds.versions
+    for version_key in versions:
+        item = ds[ds.versions.index(version_key)]
+        chunks = chunk_waveform(item.waveform)
+        for i in range(chunks.shape[0]):
+            yield version_key, i, chunks.shape[0], chunks[i]
+
+
+def extract_split_batched(
+    config: Config,
+    metadata: Metadata,
+    split: str,
+    embed_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    *,
+    kind: str = "x_concat",
+    batch_size: int = 32,
+    mesh=None,
+    limit: Optional[int] = None,
+    overwrite: bool = False,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """Run one embedding kind over a split with cross-song chunk batching.
+
+    ``embed_fn(audio (B, N_SAMPLES)) -> (B, D)`` is the jitted device path
+    (mel + encoder [+ head]); it sees exactly one batch shape.
+    """
+    store = EmbeddingStore(config.path.hidden_states, config.data.dataset_name)
+    ds = AudioDataset(metadata, split, config.path.data)
+    filename = f"{kind}.npz"
+
+    if not overwrite:
+        versions = [v for v in (ds.versions[:limit] if limit else ds.versions)
+                    if not store.exists(v, filename)]
+        skipped = (len(ds.versions[:limit] if limit else ds.versions) - len(versions))
+        ds.versions = versions
+        limit = None
+    else:
+        skipped = 0
+
+    meter = ThroughputMeter(window=20)
+    accs: Dict[str, _SongAcc] = {}
+    done: List[str] = []
+
+    pending: List[Tuple[str, int, int, np.ndarray]] = []
+
+    def flush(batch: List[Tuple[str, int, int, np.ndarray]]):
+        B = len(batch)
+        audio = np.zeros((batch_size, N_SAMPLES), np.float32)
+        for i, (_, _, _, chunk) in enumerate(batch):
+            audio[i] = chunk
+        x = jnp.asarray(audio)
+        if mesh is not None:
+            from wealy_tpu.parallel.mesh import data_sharding
+
+            x = jax.device_put(x, data_sharding(mesh, 2))
+        z = np.asarray(embed_fn(x))[:B]
+        meter.tick(B)
+        for (version_key, chunk_idx, n_chunks, _), emb in zip(batch, z):
+            acc = accs.get(version_key)
+            if acc is None:
+                acc = accs[version_key] = _SongAcc(version_key, n_chunks)
+            if acc.embeddings is None:
+                acc.embeddings = np.zeros((n_chunks, emb.shape[-1]), np.float32)
+            acc.embeddings[chunk_idx] = emb
+            acc.received += 1
+            if acc.received == acc.n_chunks:
+                store.save(version_key, filename, embeddings=acc.embeddings)
+                done.append(version_key)
+                del accs[version_key]
+
+    for entry in prefetch(_chunk_stream(ds, limit), depth=2 * batch_size):
+        pending.append(entry)
+        if len(pending) == batch_size:
+            flush(pending)
+            pending = []
+            if len(done) and len(done) % 200 == 0:
+                log(f"[extract-batched] {len(done)} songs, {meter.items_per_sec:.0f} chunks/s")
+    if pending:
+        flush(pending)
+
+    # any partially-filled accumulators indicate a bug; record them
+    incomplete = sorted(accs.keys())
+    audit_dir = config.path.cache or config.path.working_dir
+    if audit_dir:
+        store.verify(metadata, filename, out_dir=audit_dir)
+    return {
+        "done": done,
+        "skipped": skipped,
+        "incomplete": incomplete,
+        "throughput": meter.report(),
+    }
+
+
+def make_encoder_embed_fn(config: Config, hf_checkpoint: Optional[str] = None):
+    """Default embed_fn: fused Pallas mel -> Whisper encoder -> mean pool."""
+    from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas
+    from wealy_tpu.cli.extract import load_whisper_model
+    from wealy_tpu.models.whisper.model import Whisper
+
+    model, params, wcfg = load_whisper_model(config, hf_checkpoint)
+
+    @jax.jit
+    def embed(audio):
+        mel = log_mel_spectrogram_pallas(audio, n_mels=wcfg.n_mels)
+        states = model.apply({"params": params}, mel, method=Whisper.encode)
+        return jnp.mean(states, axis=1)
+
+    return embed

@@ -29,6 +29,35 @@ def cmd_extract(args) -> int:
 
     config = _load_config(args.config)
     md, _ = build_clean_dataset(config, check_audio=True)
+    if args.batched:
+        import jax
+
+        from wealy_tpu.cli.extract_batched import (
+            extract_split_batched,
+            make_encoder_embed_fn,
+        )
+        from wealy_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        kind = args.kinds.split(",")[0]
+        result = extract_split_batched(
+            config,
+            md,
+            args.split,
+            make_encoder_embed_fn(config, args.hf_checkpoint),
+            kind=kind,
+            batch_size=args.batch_size,
+            mesh=mesh,
+            limit=args.limit,
+            overwrite=args.overwrite,
+        )
+        print(json.dumps({
+            "done": len(result["done"]),
+            "skipped": result["skipped"],
+            "incomplete": result["incomplete"],
+            "throughput": result["throughput"],
+        }))
+        return 0 if not result["incomplete"] else 1
     result = extract_split(
         config,
         md,
@@ -61,28 +90,47 @@ def cmd_train(args) -> int:
     from wealy_tpu.train.loop import MetricsWriter, fit
     from wealy_tpu.train.state import make_optimizer
 
-    config = _load_config(args.config)
-    ds = EmbeddingDataset(config, "train", seed=config.train.seed)
-    model, sig = build_model(config.model.name, zdim=config.model.zdim)
-    if sig != "single":
-        print(
-            f"train CLI currently drives single-input heads; {config.model.name} "
-            "requires the multimodal trainer (wealy_tpu.train.loop with a custom "
-            "model_call)",
-            file=sys.stderr,
-        )
-        return 2
+    from wealy_tpu.data.collate_factory import create_collate_fn
+    from wealy_tpu.data.multimodal import WealyClewsDataset, WhisperClewsDataset
+    from wealy_tpu.train.multimodal import build_trainable, flatten_multimodal_batch
 
+    config = _load_config(args.config)
+    model, sig, model_call = build_trainable(config.model.name, zdim=config.model.zdim)
     loss_fn = get_loss(config.train.loss)
     mesh = make_mesh() if len(jax.devices()) > 1 else None
 
-    # probe one item for the embedding dim
-    _, versions = ds[0]
-    emb_dim = versions[0][1].shape[-1]
-    L = config.data.chunk_size
+    if sig == "single":
+        ds = EmbeddingDataset(config, "train", seed=config.train.seed)
+        _, versions = ds[0]
+        emb_dim = versions[0][1].shape[-1]
+        L = config.data.chunk_size
+        example = (jnp.zeros((2, L, emb_dim)), jnp.ones((2, L), bool))
+        make_batch = None  # default single-modal collate in fit()
+    else:
+        ds_cls = WealyClewsDataset if sig == "wealy" else WhisperClewsDataset
+        ds = ds_cls(config, "train", seed=config.train.seed)
+        collate = create_collate_fn(config)
+        probe = flatten_multimodal_batch(collate([ds[0], ds[1]]))
+        if sig == "wealy":
+            example = (
+                jnp.asarray(probe["wealy"]),
+                jnp.asarray(probe["full_clews"]),
+                ~jnp.asarray(probe["clews_mask"]),
+            )
+        else:
+            example = (
+                jnp.asarray(probe["whisper_seq"]),
+                ~jnp.asarray(probe["whisper_mask"]),
+                jnp.asarray(probe["full_clews"]),
+                ~jnp.asarray(probe["clews_mask"]),
+            )
+
+        def make_batch(items):
+            return flatten_multimodal_batch(collate(items))
+
     state = create_train_state(
         model,
-        (jnp.zeros((2, L, emb_dim)), jnp.ones((2, L), bool)),
+        example,
         tx=make_optimizer(
             lr=config.train.lr,
             weight_decay=config.train.weight_decay,
@@ -91,24 +139,32 @@ def cmd_train(args) -> int:
         ),
         seed=config.train.seed,
     )
-    step = make_train_step(model, loss_fn, mesh=mesh)
+    step = make_train_step(model, loss_fn, mesh=mesh, model_call=model_call)
     ckpt = (
         CheckpointManager(config.path.checkpoints)
         if config.path.checkpoints
         else None
     )
+    if ckpt is not None and ckpt.latest_step() is not None and not args.fresh:
+        restored = ckpt.restore()
+        state = state.replace(
+            params=restored["params"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        print(f"resumed from checkpoint step {restored['step']}", file=sys.stderr)
     writer = MetricsWriter(log_every=config.train.log_every)
     state, writer = fit(
         state,
         step,
         ds.sampler,
         batch_size=config.train.batch_size,
-        chunk_size=L,
+        chunk_size=config.data.chunk_size,
         max_steps=args.max_steps or config.train.max_steps,
         writer=writer,
         checkpoint_manager=ckpt,
         checkpoint_every=config.train.checkpoint_every,
         rng=np.random.default_rng(config.train.seed),
+        make_batch=make_batch,
     )
     if ckpt is not None:
         ckpt.save(int(state.step), {"params": state.params, "step": int(state.step)})
@@ -128,11 +184,10 @@ def cmd_evaluate(args) -> int:
     from wealy_tpu.train.checkpoint import CheckpointManager
 
     config = _load_config(args.config)
-    ds = EmbeddingDataset(config, args.split, seed=0)
     model, sig = build_model(config.model.name, zdim=config.model.zdim)
     if sig != "single":
-        print("evaluate CLI currently drives single-input heads", file=sys.stderr)
-        return 2
+        return _evaluate_multimodal(args, config, model, sig)
+    ds = EmbeddingDataset(config, args.split, seed=0)
 
     # one item per version: (label, [(id, emb)])
     items = [
@@ -173,6 +228,59 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def _evaluate_multimodal(args, config, model, sig) -> int:
+    """Fusion-model evaluation: one fused embedding per song (deterministic
+    collate, n_per_class=1) -> all-pairs cosine MAP/MR1."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wealy_tpu.data.collate_factory import (
+        collate_wealy_clews,
+        collate_whisper_clews,
+    )
+    from wealy_tpu.data.multimodal import WealyClewsDataset, WhisperClewsDataset
+    from wealy_tpu.eval.wealy import evaluate_song_embeddings
+    from wealy_tpu.train.checkpoint import CheckpointManager
+    from wealy_tpu.train.multimodal import flatten_multimodal_batch, make_model_call
+
+    ds_cls = WealyClewsDataset if sig == "wealy" else WhisperClewsDataset
+    ds = ds_cls(config, args.split, n_per_class=1, seed=0)
+    items = [ds[i] for i in range(len(ds))]
+    if sig == "wealy":
+        batch = collate_wealy_clews(items, wealy_mode="deterministic")
+    else:
+        batch = collate_whisper_clews(
+            items, chunk_size=config.data.chunk_size, use_random_chunks=False
+        )
+    flat = flatten_multimodal_batch(batch)
+    model_call = make_model_call(config.model.name, model, sig)
+
+    params = None
+    if args.checkpoint or config.path.checkpoints:
+        mgr = CheckpointManager(args.checkpoint or config.path.checkpoints)
+        if mgr.latest_step() is not None:
+            params = mgr.restore()["params"]
+    if params is None:
+        # init with a 2-row probe batch
+        probe = {k: jnp.asarray(v[:2]) for k, v in flat.items()}
+        if sig == "wealy":
+            params = model.init(
+                jax.random.PRNGKey(0), probe["wealy"], probe["full_clews"],
+                ~probe["clews_mask"],
+            )["params"]
+        else:
+            params = model.init(
+                jax.random.PRNGKey(0), probe["whisper_seq"], ~probe["whisper_mask"],
+                probe["full_clews"], ~probe["clews_mask"],
+            )["params"]
+
+    z = np.asarray(jax.jit(model_call)(params, {k: jnp.asarray(v) for k, v in flat.items()}))
+    metrics = evaluate_song_embeddings(z, flat["labels"], version_ids=flat["ids"])
+    print(json.dumps(metrics))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="wealy_tpu", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -189,11 +297,18 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--hf-checkpoint", default=None)
     e.add_argument("--limit", type=int, default=None)
     e.add_argument("--overwrite", action="store_true")
+    e.add_argument(
+        "--batched",
+        action="store_true",
+        help="cross-song chunk batching (device-saturating; encoder kinds)",
+    )
+    e.add_argument("--batch-size", type=int, default=32)
     e.set_defaults(fn=cmd_extract)
 
     t = sub.add_parser("train", help="metric-learning training")
     t.add_argument("--config", required=True)
     t.add_argument("--max-steps", type=int, default=None)
+    t.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
     t.set_defaults(fn=cmd_train)
 
     ev = sub.add_parser("evaluate", help="MAP/MR1 retrieval evaluation")

@@ -9,7 +9,10 @@ f32 accumulation.
 
 from wealy_tpu.models.whisper.config import WhisperConfig, WHISPER_CONFIGS
 from wealy_tpu.models.whisper.model import WhisperEncoder, WhisperDecoder, Whisper
-from wealy_tpu.models.whisper.convert import params_from_hf_state_dict
+from wealy_tpu.models.whisper.convert import (
+    params_from_hf_state_dict,
+    params_from_openai_state_dict,
+)
 from wealy_tpu.models.whisper.generate import greedy_decode
 
 __all__ = [
@@ -19,5 +22,6 @@ __all__ = [
     "WhisperDecoder",
     "Whisper",
     "params_from_hf_state_dict",
+    "params_from_openai_state_dict",
     "greedy_decode",
 ]

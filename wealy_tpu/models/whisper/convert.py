@@ -57,6 +57,65 @@ def _dec_block(sd, prefix):
     return out
 
 
+def params_from_openai_state_dict(
+    state_dict: Mapping[str, object], config: WhisperConfig
+) -> dict:
+    """Build the param tree from an OpenAI-format Whisper checkpoint
+    (``whisper`` pip package naming: encoder.blocks.N.attn.query / key /
+    value / out, attn_ln, mlp.0/mlp.2, mlp_ln; decoder.blocks.N with
+    cross_attn*; token_embedding / positional_embedding;
+    encoder.ln_post / decoder.ln).
+
+    Accepts the raw checkpoint dict (with ``model_state_dict``) or the state
+    dict itself.
+    """
+    sd = state_dict.get("model_state_dict", state_dict)
+
+    def attn(prefix):
+        return {
+            "q": _dense(sd, f"{prefix}.query"),
+            "k": _dense(sd, f"{prefix}.key", bias=False),
+            "v": _dense(sd, f"{prefix}.value"),
+            "out": _dense(sd, f"{prefix}.out"),
+        }
+
+    def block(prefix, cross):
+        out = {
+            "attn_ln": _ln(sd, f"{prefix}.attn_ln"),
+            "attn": attn(f"{prefix}.attn"),
+            "mlp_ln": _ln(sd, f"{prefix}.mlp_ln"),
+            "mlp_fc1": _dense(sd, f"{prefix}.mlp.0"),
+            "mlp_fc2": _dense(sd, f"{prefix}.mlp.2"),
+        }
+        if cross:
+            out["cross_attn_ln"] = _ln(sd, f"{prefix}.cross_attn_ln")
+            out["cross_attn"] = attn(f"{prefix}.cross_attn")
+        return out
+
+    enc = {
+        "conv1": {
+            "kernel": _np(sd["encoder.conv1.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd["encoder.conv1.bias"]),
+        },
+        "conv2": {
+            "kernel": _np(sd["encoder.conv2.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd["encoder.conv2.bias"]),
+        },
+        "ln_post": _ln(sd, "encoder.ln_post"),
+    }
+    for i in range(config.n_audio_layer):
+        enc[f"block_{i}"] = block(f"encoder.blocks.{i}", cross=False)
+
+    dec = {
+        "token_embedding": _np(sd["decoder.token_embedding.weight"]),
+        "positional_embedding": _np(sd["decoder.positional_embedding"]),
+        "ln": _ln(sd, "decoder.ln"),
+    }
+    for i in range(config.n_text_layer):
+        dec[f"block_{i}"] = block(f"decoder.blocks.{i}", cross=True)
+    return {"encoder": enc, "decoder": dec}
+
+
 def params_from_hf_state_dict(
     state_dict: Mapping[str, object], config: WhisperConfig
 ) -> dict:

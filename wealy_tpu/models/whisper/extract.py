@@ -105,7 +105,11 @@ def extract_song(
     if "x_concat" in kinds:
         out["x_concat"] = np.asarray(encoder_embeddings(model, params, mel))
     for suffix, language in (("", None), ("_en", 0)):
-        wants = {f"hs_last_all{suffix}", f"hs_last_seq{suffix}"} & set(kinds)
+        wants = {
+            f"hs_last_all{suffix}",
+            f"hs_last_seq{suffix}",
+            f"hs_all{suffix}",
+        } & set(kinds)
         if not wants:
             continue
         dec = decoder_embeddings(
@@ -118,4 +122,19 @@ def extract_song(
             out[f"hs_last_all{suffix}_lengths"] = lengths
         if f"hs_last_seq{suffix}" in kinds:
             out[f"hs_last_seq{suffix}"] = flatten_decoder_sequence(hidden, lengths)
+        if f"hs_all{suffix}" in kinds:
+            # all-layer hidden states: teacher-forced pass over the decoded
+            # tokens (hidden_states/all taxonomy entry)
+            from wealy_tpu.models.whisper.model import Whisper as _W
+
+            enc = encoder_states(model, params, mel)
+            _, _, all_h = model.apply(
+                {"params": params},
+                dec["tokens"],
+                enc,
+                return_all_hiddens=True,
+                method=_W.decode,
+            )
+            out[f"hs_all{suffix}"] = np.asarray(all_h, dtype=np.float32)
+            out[f"hs_all{suffix}_lengths"] = lengths
     return out

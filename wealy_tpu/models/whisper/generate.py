@@ -46,6 +46,26 @@ def init_kv_caches(config: WhisperConfig, batch: int, max_len: int, dtype=jnp.bf
     ]
 
 
+def detect_language(model: Whisper, params, audio_states, config: WhisperConfig):
+    """Whisper language identification: one decoder step from <|sot|>, logits
+    restricted to the 99 language tokens.
+
+    Returns (lang_index (B,) int32 — 0 is English, feed to
+    ``config.language_token`` / ``default_prompt(language=...)`` — and the
+    (B, 99) log-probabilities).
+    """
+    B = audio_states.shape[0]
+    sot = jnp.full((B, 1), config.sot, dtype=jnp.int32)
+    _, logits = model.apply(
+        {"params": params}, sot, audio_states, method=Whisper.decode
+    )
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits[:, 0], config.language_token(0), 99, axis=-1
+    )
+    logp = jax.nn.log_softmax(lang_logits, axis=-1)
+    return jnp.argmax(logp, axis=-1).astype(jnp.int32), logp
+
+
 def greedy_decode(
     model: Whisper,
     params,

@@ -183,7 +183,14 @@ class WhisperDecoder(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, tokens, audio_states, kv_caches=None, cache_index=None):
+    def __call__(
+        self,
+        tokens,
+        audio_states,
+        kv_caches=None,
+        cache_index=None,
+        return_all_hiddens: bool = False,
+    ):
         cfg = self.config
         embed = self.param(
             "token_embedding",
@@ -218,6 +225,7 @@ class WhisperDecoder(nn.Module):
             ]
 
         new_caches = []
+        all_hiddens = [x] if return_all_hiddens else None
         for i in range(cfg.n_text_layer):
             cache_i = None if kv_caches is None else kv_caches[i]
             x, new_cache = ResidualAttentionBlock(
@@ -228,15 +236,22 @@ class WhisperDecoder(nn.Module):
                 name=f"block_{i}",
             )(x, xa=audio_states, mask=mask, kv_cache=cache_i, cache_index=cache_index)
             new_caches.append(new_cache)
+            if return_all_hiddens:
+                all_hiddens.append(x)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(x)
         logits = jnp.einsum(
             "btd,vd->btv", x, embed, preferred_element_type=jnp.float32
         )
         hidden = x.astype(self.dtype)
+        extras = []
+        if return_all_hiddens:
+            # (n_layers + 1, B, T, D): token+pos embedding output followed by
+            # each block's output (the "hidden_states / hs_all" taxonomy entry)
+            extras.append(jnp.stack(all_hiddens).astype(self.dtype))
         if kv_caches is None:
-            return hidden, logits
-        return hidden, logits, new_caches
+            return (hidden, logits, *extras) if extras else (hidden, logits)
+        return (hidden, logits, new_caches, *extras)
 
 
 class Whisper(nn.Module):
@@ -256,5 +271,18 @@ class Whisper(nn.Module):
     def encode(self, mel):
         return self.encoder(mel)
 
-    def decode(self, tokens, audio_states, kv_caches=None, cache_index=None):
-        return self.decoder(tokens, audio_states, kv_caches=kv_caches, cache_index=cache_index)
+    def decode(
+        self,
+        tokens,
+        audio_states,
+        kv_caches=None,
+        cache_index=None,
+        return_all_hiddens: bool = False,
+    ):
+        return self.decoder(
+            tokens,
+            audio_states,
+            kv_caches=kv_caches,
+            cache_index=cache_index,
+            return_all_hiddens=return_all_hiddens,
+        )

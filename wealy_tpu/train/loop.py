@@ -80,19 +80,30 @@ def fit(
     checkpoint_manager=None,
     checkpoint_every: int = 1000,
     rng: Optional[np.random.Generator] = None,
+    make_batch: Optional[Callable] = None,
 ):
-    """Run training until ``max_steps`` (or ``epochs``). Returns final state."""
+    """Run training until ``max_steps`` (or ``epochs``). Returns final state.
+
+    ``make_batch(items) -> dict`` overrides the default single-modal collate
+    (use wealy_tpu.train.multimodal adapters for the fusion models).
+    """
     writer = writer or MetricsWriter()
     rng = rng or np.random.default_rng(0)
+    if make_batch is None:
+
+        def make_batch(items):
+            return batch_to_device(
+                collate_fixed_length(
+                    items, chunk_size=chunk_size, use_random_chunks=True, rng=rng
+                )
+            )
+
     step = int(state.step)
     epoch = 0
     done = False
     while not done and (epochs is None or epoch < epochs):
         for items in sampler.epoch(shuffle=True, batch_size=batch_size):
-            batch = collate_fixed_length(
-                items, chunk_size=chunk_size, use_random_chunks=True, rng=rng
-            )
-            state, logdict = train_step(state, batch_to_device(batch))
+            state, logdict = train_step(state, make_batch(items))
             step += 1
             writer.write(step, logdict)
             if checkpoint_manager is not None and step % checkpoint_every == 0:

@@ -59,22 +59,22 @@ def make_train_step(
         logdict["loss"] = loss
         return new_state, logdict
 
-    if mesh is None:
-        return jax.jit(_step, donate_argnums=(0,))
+    # Sharding is carried by the inputs: put the batch on device with
+    # :func:`shard_batch` (dim 0 over the data axis) and jit propagates it.
+    # This keeps the step generic over batch layouts (single-modal dicts,
+    # multimodal dicts, extra keys).
+    return jax.jit(_step, donate_argnums=(0,))
 
-    batch_shardings = {
-        "emb": data_sharding(mesh, 3),
-        "mask": data_sharding(mesh, 2),
-        "labels": data_sharding(mesh, 1),
-        "ids": data_sharding(mesh, 1),
-    }
-    # batch sharded over the data axis; state left to jit (replicated)
-    return jax.jit(
-        _step,
-        donate_argnums=(0,),
-        in_shardings=(None, batch_shardings),
-        out_shardings=(None, None),
-    )
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """device_put every array leaf of a batch dict sharded on dim 0 over the
+    mesh's ``data`` axis."""
+
+    def put(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+
+    return {k: put(v) for k, v in batch.items()}
 
 
 def make_eval_embed_step(model, mesh: Optional[Mesh] = None, model_call=None):

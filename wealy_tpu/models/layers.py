@@ -21,6 +21,24 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class LayerNormFused(nn.Module):
+    """Drop-in for ``nn.LayerNorm(epsilon=eps, dtype=f32)`` backed by the
+    fused Pallas kernel (wealy_tpu.ops.layer_norm): bf16 I/O, f32 statistics,
+    single memory pass. Param names match nn.LayerNorm ("scale"/"bias") so
+    converted checkpoints load unchanged."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        from wealy_tpu.ops.layer_norm import fused_layer_norm
+
+        D = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (D,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (D,), jnp.float32)
+        return fused_layer_norm(x, scale, bias, self.epsilon)
+
+
 def mean_pool(x, mask=None, eps: float = 1e-8):
     """Masked mean over time. x: (B, T, C); mask: (B, T) True=valid -> (B, C).
 

@@ -95,6 +95,8 @@ def cmd_train(args) -> int:
     from wealy_tpu.train.multimodal import build_trainable, flatten_multimodal_batch
 
     config = _load_config(args.config)
+    if config.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     model, sig, model_call = build_trainable(config.model.name, zdim=config.model.zdim)
     loss_fn = get_loss(config.train.loss)
     mesh = make_mesh() if len(jax.devices()) > 1 else None

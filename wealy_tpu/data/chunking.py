@@ -157,6 +157,42 @@ def collate_fixed_length(
     return Batch(clique_ids, version_ids, embeddings, masks)
 
 
+def collate_full_songs(
+    items: Sequence[Item], length_bucket: int = 256, max_length: Optional[int] = None
+) -> Batch:
+    """``fullsongs`` collate (reference base_dataset.py:20-22 flag): no
+    chunking — sequences padded to the batch max rounded UP to a multiple of
+    ``length_bucket`` (bounded jit-shape set), optionally hard-capped."""
+    B = len(items)
+    n = len(items[0][1])
+    C, longest = None, 1
+    for _, versions in items:
+        for _, emb in versions:
+            if emb is not None:
+                e = np.asarray(emb)
+                C = e.shape[-1]
+                longest = max(longest, e.shape[0])
+    assert C is not None, "all embeddings in batch are None"
+    L = -(-longest // length_bucket) * length_bucket
+    if max_length is not None:
+        L = min(L, max_length)
+
+    clique_ids = np.empty((B,), np.int64)
+    version_ids = np.zeros((B, n), np.int64)
+    embeddings = np.zeros((B, n, L, C), np.float32)
+    masks = np.zeros((B, n, L), bool)
+    for i, (label, versions) in enumerate(items):
+        clique_ids[i] = label
+        for j, (vid, emb) in enumerate(versions):
+            version_ids[i, j] = vid
+            if emb is None:
+                continue
+            e = np.asarray(emb, np.float32)[:L]
+            embeddings[i, j, : e.shape[0]] = e
+            masks[i, j, : e.shape[0]] = True
+    return Batch(clique_ids, version_ids, embeddings, masks)
+
+
 def collate_avg_pool(items: Sequence[Item]) -> Batch:
     """Avg-pooling collate: time collapsed to a single vector per version
     (collate_functions.py:131-172). masks: (B, n) True=embedding present."""

@@ -237,6 +237,10 @@ def create_collate_fn(
     embedding_type = "clews" if config.data.embedding_type == "clews" else "whisper"
     if use_avg_pooling:
         return lambda items: collate_avg_pool(items)
+    if getattr(config.data, "fullsongs", False) and not use_overlapping_chunks:
+        from wealy_tpu.data.chunking import collate_full_songs
+
+        return lambda items: collate_full_songs(items)
     if use_overlapping_chunks:
         return lambda items: collate_overlapping(
             items,

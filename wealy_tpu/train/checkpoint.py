@@ -36,3 +36,34 @@ class CheckpointManager:
 
     def all_steps(self):
         return self._mgr.all_steps()
+
+    # -- full-TrainState convenience (params + optimizer + step) ----------
+    def save_state(self, state) -> None:
+        """Persist a TrainState's resumable parts (tx itself is code)."""
+        payload = {
+            "step": int(state.step),
+            "params": state.params,
+            "opt_state": state.opt_state,
+        }
+        if state.batch_stats is not None:
+            payload["batch_stats"] = state.batch_stats
+        self.save(int(state.step), payload)
+
+    def restore_state(self, state):
+        """Restore into an initialized TrainState (shapes from ``state``)."""
+        import jax.numpy as jnp
+
+        template = {
+            "step": int(state.step),
+            "params": state.params,
+            "opt_state": state.opt_state,
+        }
+        if state.batch_stats is not None:
+            template["batch_stats"] = state.batch_stats
+        restored = self.restore(template=template)
+        return state.replace(
+            step=jnp.asarray(restored["step"], jnp.int32),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            batch_stats=restored.get("batch_stats", state.batch_stats),
+        )

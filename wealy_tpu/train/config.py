@@ -43,6 +43,7 @@ class DataConfig:
     n_per_class: int = 2
     p_samesong: float = 0.0
     augment: bool = False
+    fullsongs: bool = False  # base_dataset.py:20-22: no chunking, full sequences
     whisper_set: str = "turbo_nothing_whisper_42"  # dataset.py:17-19 default
 
 
@@ -65,6 +66,7 @@ class TrainConfig:
     log_every: int = 50
     eval_every: int = 1000
     checkpoint_every: int = 1000
+    debug_nans: bool = False  # enable jax_debug_nans + per-step finite checks
 
 
 @dataclasses.dataclass

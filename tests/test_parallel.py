@@ -106,3 +106,49 @@ class TestGlobalBatchLoss:
         loss_g, _ = jax.jit(gl)(zl, zi, zz)
         loss_s, _ = clews_loss(labels, idx, z)
         np.testing.assert_allclose(float(loss_g), float(loss_s), rtol=1e-5)
+
+
+class TestStreamingRanks:
+    def test_matches_rank_metrics(self, rng):
+        from wealy_tpu.eval.retrieval import rank_metrics
+        from wealy_tpu.ops.distance import pairwise_distance_matrix
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        Q, C = 40, 16
+        labels = np.repeat(np.arange(10), 4)  # 10 cliques x 4 versions
+        z = rng.normal(size=(Q, C)).astype(np.float32)
+        # make same-clique embeddings correlated so metrics are non-trivial
+        for c in range(10):
+            z[labels == c] += 2.0 * rng.normal(size=(C,)).astype(np.float32)
+
+        full = np.asarray(pairwise_distance_matrix(z, z, mode="cos"))
+        want = rank_metrics(full, labels, labels)
+
+        ranks, n_rel = streaming_relevant_ranks(
+            z, z, labels, labels, mode="cos", block_size=7
+        )
+        got = map_from_ranks(ranks, n_rel)
+        assert got["n_queries"] == want["n_queries"]
+        np.testing.assert_allclose(got["MR1"], want["MR1"], rtol=1e-6)
+        np.testing.assert_allclose(got["MAP"], want["MAP"], rtol=1e-6)
+
+    def test_similarity_mode(self, rng):
+        from wealy_tpu.eval.retrieval import rank_metrics
+        from wealy_tpu.ops.distance import pairwise_distance_matrix
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        labels = np.repeat(np.arange(5), 3)
+        z = rng.normal(size=(15, 8)).astype(np.float32)
+        sim = np.asarray(pairwise_distance_matrix(z, z, mode="cossim"))
+        want = rank_metrics(1.0 - sim, labels, labels)
+        ranks, n_rel = streaming_relevant_ranks(
+            z, z, labels, labels, mode="cossim", block_size=4
+        )
+        got = map_from_ranks(ranks, n_rel)
+        np.testing.assert_allclose(got["MAP"], want["MAP"], rtol=1e-6)

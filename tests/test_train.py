@@ -171,3 +171,45 @@ class TestCheckpoint:
         leaf_orig = jax.tree_util.tree_leaves(state.params)[0]
         leaf_rest = jax.tree_util.tree_leaves(restored["params"])[0]
         np.testing.assert_allclose(np.asarray(leaf_orig), np.asarray(leaf_rest))
+
+
+class TestBatchStatsTraining:
+    def test_clews_encoder_trains_with_batch_stats(self, rng):
+        """End-to-end: tiny CLEWS acoustic encoder (BatchNorm inside) trains
+        and its running statistics update."""
+        from wealy_tpu.models.clews_encoder import ClewsEncoder
+        from wealy_tpu.train.state import TrainState, make_optimizer
+
+        enc = ClewsEncoder(embed_dim=16, stem=8, stages=((8, 2),), blocks_per_stage=1)
+        cqt0 = jnp.asarray(np.abs(rng.normal(size=(8, 24, 16, 1))).astype(np.float32))
+        variables = enc.init(jax.random.PRNGKey(0), cqt0, train=True)
+        tx = make_optimizer(lr=1e-2, warmup_steps=1, max_steps=50)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+            batch_stats=variables["batch_stats"],
+            tx=tx,
+        )
+
+        from wealy_tpu.losses import clews_loss
+
+        def model_call(params, batch_stats, batch):
+            z, updates = enc.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["emb"], train=True, mutable=["batch_stats"],
+                rngs={"noise": jax.random.PRNGKey(0)},  # CQTPrepare eps-noise
+            )
+            return z, updates["batch_stats"]
+
+        step = make_train_step(enc, clews_loss, model_call=model_call, with_batch_stats=True)
+        batch = {
+            "emb": np.abs(rng.normal(size=(8, 24, 16, 1))).astype(np.float32),
+            "labels": np.repeat(np.arange(4, dtype=np.int32), 2),
+            "ids": np.arange(8, dtype=np.int32),
+        }
+        bs_before = np.asarray(jax.tree_util.tree_leaves(state.batch_stats)[0]).copy()
+        new_state, logdict = step(state, batch)
+        assert np.isfinite(float(logdict["loss"]))
+        bs_after = np.asarray(jax.tree_util.tree_leaves(new_state.batch_stats)[0])
+        assert not np.allclose(bs_before, bs_after)  # running stats moved

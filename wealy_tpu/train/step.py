@@ -26,6 +26,7 @@ def make_train_step(
     loss_fn: Callable,
     mesh: Optional[Mesh] = None,
     model_call: Optional[Callable] = None,
+    with_batch_stats: bool = False,
 ):
     """Build the jitted train step.
 
@@ -33,13 +34,29 @@ def make_train_step(
     the batch dict; default assumes ``batch = {"emb": (B, T, C), "mask":
     (B, T), "labels": (B,), "ids": (B,)}`` and a single-input head.
 
+    ``with_batch_stats``: for BatchNorm models (e.g. the CLEWS acoustic
+    encoder) — ``model_call(params, batch_stats, batch) -> (z, new_stats)``
+    and the state's ``batch_stats`` collection is threaded/updated.
+
     With a mesh, the loss consumes the all_gathered global batch; without, it
     runs single-device (tests / 1-chip).
     """
     if model_call is None:
+        if with_batch_stats:
 
-        def model_call(params, batch):
-            return model.apply({"params": params}, batch["emb"], batch["mask"])
+            def model_call(params, batch_stats, batch):
+                z, updates = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch["emb"],
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                return z, updates["batch_stats"]
+
+        else:
+
+            def model_call(params, batch):
+                return model.apply({"params": params}, batch["emb"], batch["mask"])
 
     wrapped_loss = (
         global_batch_loss(loss_fn, mesh) if mesh is not None else loss_fn
@@ -47,14 +64,20 @@ def make_train_step(
 
     def _step(state: TrainState, batch: dict):
         def compute(params):
-            z = model_call(params, batch)
+            if with_batch_stats:
+                z, new_stats = model_call(params, state.batch_stats, batch)
+            else:
+                z = model_call(params, batch)
+                new_stats = None
             loss, logdict = wrapped_loss(
                 batch["labels"], batch["ids"], z, {"global_step": state.step}
             )
-            return loss, logdict
+            return loss, (logdict, new_stats)
 
-        (loss, logdict), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads)
+        (loss, (logdict, new_stats)), grads = jax.value_and_grad(
+            compute, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
         logdict = dict(logdict)
         logdict["loss"] = loss
         return new_state, logdict

@@ -11,12 +11,12 @@ idempotent, shard-resumable extraction jobs (SURVEY.md §5.3/§5.4).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from wealy_tpu.data.metadata import Metadata, SPLITS
-from wealy_tpu.data.paths import find_embedding_path, shs_candidate_folders
+from wealy_tpu.data.paths import find_embedding_path
 
 
 class EmbeddingStore:

@@ -15,12 +15,11 @@ Parity: lib/embedding_dataset/multimodal_dataset.py —
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
 from wealy_tpu.data.dataset import EmbeddingDataset
-from wealy_tpu.data.embedding_store import EmbeddingStore
 from wealy_tpu.data.metadata import Metadata, SPLITS
 from wealy_tpu.train.config import Config
 

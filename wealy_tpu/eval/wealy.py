@@ -10,7 +10,7 @@ Covers the test-mode contracts of the reference collates:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

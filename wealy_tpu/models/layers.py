@@ -14,7 +14,7 @@ collection; InstanceNorm is GroupNorm with one group per channel.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wealy_tpu.audio.mel import N_SAMPLES, pad_or_trim
+from wealy_tpu.audio.mel import N_SAMPLES
 from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas
 from wealy_tpu.models.whisper.config import WhisperConfig
 from wealy_tpu.models.whisper.generate import default_prompt, greedy_decode

@@ -15,7 +15,7 @@ Design notes (vs the public PyTorch architecture):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 import jax

@@ -24,7 +24,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 512
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)

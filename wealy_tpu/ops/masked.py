@@ -8,7 +8,7 @@ jit-safe: shapes are static, reduction axes are Python-level constants.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp

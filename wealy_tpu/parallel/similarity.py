@@ -19,7 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from wealy_tpu.ops.distance import pairwise_distance_matrix
 from wealy_tpu.parallel.mesh import data_sharding, replicated

@@ -7,10 +7,8 @@ through the ``(loss, logdict)`` channel to a pluggable writer (SURVEY.md §5.5:
 
 from __future__ import annotations
 
-import time
-from typing import Callable, Iterable, Optional
+from typing import Callable, Optional
 
-import jax
 import numpy as np
 
 from wealy_tpu.data.chunking import collate_fixed_length

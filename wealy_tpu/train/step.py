@@ -9,7 +9,6 @@ replicated. The ``(loss, logdict)`` channel is preserved end-to-end
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -117,6 +117,8 @@ class MultiHeadAttention(nn.Module):
 
 
 class ResidualAttentionBlock(nn.Module):
+    """Pre-LN attention + MLP block."""
+
     n_state: int
     n_head: int
     cross_attention: bool = False

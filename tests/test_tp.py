@@ -1,0 +1,71 @@
+"""Tensor-parallel Whisper tests on the virtual 8-device mesh: TP-sharded
+encoder output must equal the unsharded output."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from wealy_tpu.models.whisper import WhisperConfig
+from wealy_tpu.models.whisper.model import WhisperEncoder
+from wealy_tpu.parallel.tp import (
+    make_tp_mesh,
+    shard_params,
+    tp_encode_fn,
+    whisper_param_shardings,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = WhisperConfig(
+        n_mels=8, n_audio_ctx=16, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=64, n_text_ctx=8, n_text_state=64,
+        n_text_head=4, n_text_layer=1,
+    )
+    enc = WhisperEncoder(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(4, 8, 32)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), mel)["params"]
+    return cfg, enc, params, mel
+
+
+class TestShardingRules:
+    def test_rule_assignment(self, setup):
+        cfg, enc, params, mel = setup
+        mesh = make_tp_mesh(n_model=4, n_data=2)
+        shardings = whisper_param_shardings(params, mesh)
+        b0 = shardings["block_0"]
+        assert b0["attn"]["q"]["kernel"].spec == P(None, "model")
+        assert b0["attn"]["out"]["kernel"].spec == P("model", None)
+        assert b0["mlp_fc1"]["kernel"].spec == P(None, "model")
+        assert b0["mlp_fc2"]["kernel"].spec == P("model", None)
+        assert b0["attn_ln"]["scale"].spec == P()
+        assert shardings["conv1"]["kernel"].spec == P()
+
+    def test_k_has_no_bias_rule_needed(self, setup):
+        cfg, enc, params, mel = setup
+        assert "bias" not in params["block_0"]["attn"]["k"]
+
+
+class TestTPEncoder:
+    @pytest.mark.parametrize("n_model,n_data", [(4, 2), (2, 4), (8, 1)])
+    def test_matches_unsharded(self, setup, n_model, n_data):
+        cfg, enc, params, mel = setup
+        want = np.asarray(enc.apply({"params": params}, mel))
+
+        mesh = make_tp_mesh(n_model=n_model, n_data=n_data)
+        sp = shard_params(params, mesh)
+        encode = tp_encode_fn(enc, mesh)
+        got = np.asarray(encode(sp, mel))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_params_actually_sharded(self, setup):
+        cfg, enc, params, mel = setup
+        mesh = make_tp_mesh(n_model=4, n_data=2)
+        sp = shard_params(params, mesh)
+        k = sp["block_0"]["mlp_fc1"]["kernel"]
+        # each model shard holds 1/4 of the 4D output dim
+        shard_shapes = {s.data.shape for s in k.addressable_shards}
+        assert shard_shapes == {(64, 64)}  # (D, 4D/4)

@@ -1,0 +1,108 @@
+"""Tensor parallelism for the Whisper family (2-D ``data`` x ``model`` mesh).
+
+Whisper-large (1280-wide, 32 layers) fits one v5e chip for inference, but
+sharding the width axis cuts latency and enables larger extraction batches —
+SURVEY.md §2.8/§5.8's "optional model axis for Whisper-large TP". The scheme
+is the standard Megatron split, expressed purely through parameter shardings
+(GSPMD propagates activations and inserts the psums over ICI):
+
+  attn q/k/v kernels   (D, D)  -> P(None, "model")   heads split across chips
+  attn out kernel      (D, D)  -> P("model", None)   row-parallel, psum after
+  mlp_fc1 kernel       (D, 4D) -> P(None, "model")   column-parallel
+  mlp_fc2 kernel       (4D, D) -> P("model", None)   row-parallel, psum after
+  biases of column-parallel layers follow their outputs; everything else
+  (convs, LayerNorms, embeddings) is replicated.
+
+Use ``use_flash=False`` models under TP: the Pallas attention kernel has no
+GSPMD partitioning rule, while the XLA einsum attention partitions cleanly
+along the head axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# leaf-name patterns (joined flax param paths) -> PartitionSpec
+_RULES = (
+    (("attn", "q", "kernel"), P(None, "model")),
+    (("attn", "q", "bias"), P("model")),
+    (("attn", "k", "kernel"), P(None, "model")),
+    (("attn", "v", "kernel"), P(None, "model")),
+    (("attn", "v", "bias"), P("model")),
+    (("attn", "out", "kernel"), P("model", None)),
+    (("cross_attn", "q", "kernel"), P(None, "model")),
+    (("cross_attn", "q", "bias"), P("model")),
+    (("cross_attn", "k", "kernel"), P(None, "model")),
+    (("cross_attn", "v", "kernel"), P(None, "model")),
+    (("cross_attn", "v", "bias"), P("model")),
+    (("cross_attn", "out", "kernel"), P("model", None)),
+    (("mlp_fc1", "kernel"), P(None, "model")),
+    (("mlp_fc1", "bias"), P("model")),
+    (("mlp_fc2", "kernel"), P("model", None)),
+)
+
+
+def _spec_for(path: tuple) -> P:
+    names = tuple(
+        p.key if hasattr(p, "key") else str(p) for p in path
+    )
+    for pattern, spec in _RULES:
+        if len(names) >= len(pattern) and tuple(names[-len(pattern):]) == pattern:
+            return spec
+    return P()  # replicated
+
+
+def whisper_param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for a Whisper param tree on a mesh with a
+    ``model`` axis (and optionally ``data``)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path)), params
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put the param tree with TP shardings."""
+    shardings = whisper_param_shardings(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def make_tp_mesh(
+    n_model: int, n_data: Optional[int] = None, devices=None
+) -> Mesh:
+    """(data, model) mesh: model axis innermost (fastest ICI links)."""
+    import numpy as np
+
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model == len(devices), (n_data, n_model, len(devices))
+    return Mesh(devices.reshape(n_data, n_model), axis_names=("data", "model"))
+
+
+def tp_encode_fn(model, mesh: Mesh):
+    """Jitted TP encoder: mel batch sharded over ``data``, params TP-sharded.
+
+    Returns ``fn(sharded_params, mel) -> (B, T, D) states`` (output sharded
+    over ``data`` on the batch dim). Pass params through :func:`shard_params`
+    first so GSPMD sees the TP layout.
+    """
+    from wealy_tpu.models.whisper.model import Whisper
+
+    mel_sharding = NamedSharding(mesh, P("data", None, None))
+    out_sharding = NamedSharding(mesh, P("data", None, None))
+    is_full_model = isinstance(model, Whisper)
+
+    @jax.jit
+    def encode(params, mel):
+        mel = jax.lax.with_sharding_constraint(mel, mel_sharding)
+        if is_full_model:
+            states = model.apply({"params": params}, mel, method=Whisper.encode)
+        else:  # bare WhisperEncoder
+            states = model.apply({"params": params}, mel)
+        return jax.lax.with_sharding_constraint(states, out_sharding)
+
+    return encode

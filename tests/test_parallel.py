@@ -152,3 +152,24 @@ class TestStreamingRanks:
         )
         got = map_from_ranks(ranks, n_rel)
         np.testing.assert_allclose(got["MAP"], want["MAP"], rtol=1e-6)
+
+    def test_scale_smoke_2000_songs(self, rng):
+        """Corpus-scale smoke: 2000 songs through the streaming path with a
+        small block size — shapes/ranks stay consistent at scale."""
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        N = 2000
+        labels = np.repeat(np.arange(N // 4), 4)
+        z = rng.normal(size=(N, 32)).astype(np.float32)
+        for c in range(N // 4):
+            z[labels == c] += 3.0 * rng.normal(size=(32,)).astype(np.float32)
+        ranks, n_rel = streaming_relevant_ranks(
+            z, z, labels, labels, mode="cossim", block_size=256, max_relevant=3
+        )
+        m = map_from_ranks(ranks, n_rel)
+        assert m["n_queries"] == N
+        assert m["MAP"] > 0.9  # strongly clustered fixture
+        assert (n_rel == 3).all()

@@ -22,3 +22,6 @@ for Audio-based Lyrics Matching", arXiv:2510.08176), designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# Convenience top-level exports (the subpackages stay the canonical API).
+from wealy_tpu.train.config import Config  # noqa: E402,F401

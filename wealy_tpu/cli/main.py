@@ -76,6 +76,37 @@ def cmd_extract(args) -> int:
     return 0 if not result["failed"] else 1
 
 
+def cmd_transcribe(args) -> int:
+    from wealy_tpu.cli.transcribe import transcribe_split
+    from wealy_tpu.data.dataset import build_clean_dataset
+
+    config = _load_config(args.config)
+    md, _ = build_clean_dataset(config, check_audio=True)
+    result = transcribe_split(
+        config,
+        md,
+        args.split,
+        tokenizer_dir=args.tokenizer_dir,
+        language=None if args.language < 0 else args.language,
+        max_len=args.max_len,
+        limit=args.limit,
+        overwrite=args.overwrite,
+    )
+    print(
+        json.dumps(
+            {
+                "done": len(result["done"]),
+                "skipped": len(result["skipped"]),
+                "failed": len(result["failed"]),
+                "n_valid": result["n_valid"],
+                "n_total": result["n_total"],
+                "cache_file": result["cache_file"],
+            }
+        )
+    )
+    return 0 if not result["failed"] else 1
+
+
 def cmd_train(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -306,6 +337,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     e.add_argument("--batch-size", type=int, default=32)
     e.set_defaults(fn=cmd_extract)
+
+    tr = sub.add_parser("transcribe", help="greedy-transcribe a split to .txt + census")
+    tr.add_argument("--config", required=True)
+    tr.add_argument("--split", default="train")
+    tr.add_argument("--tokenizer-dir", default=None)
+    tr.add_argument("--hf-checkpoint", default=None)
+    tr.add_argument("--language", type=int, default=0, help="language index (0=en); -1 = auto")
+    tr.add_argument("--max-len", type=int, default=224)
+    tr.add_argument("--limit", type=int, default=None)
+    tr.add_argument("--overwrite", action="store_true")
+    tr.set_defaults(fn=cmd_transcribe)
 
     t = sub.add_parser("train", help="metric-learning training")
     t.add_argument("--config", required=True)

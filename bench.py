@@ -36,19 +36,37 @@ def _tpu_throughput(batch: int = 64, iters: int = 30) -> float:
         jax.random.PRNGKey(0), mel0, jnp.zeros((1, 4), jnp.int32)
     )["params"]
 
+    # NOTE: params must be jit ARGUMENTS, not closure constants — closed-over
+    # param trees blow up the remote-compile request (HTTP 413) and compile
+    # time (minutes -> seconds). See BENCH_NOTES.md.
     @jax.jit
-    def embed(audio):
+    def embed(params, audio):
         mel = log_mel_spectrogram_pallas(audio, n_mels=cfg.n_mels)
         states = model.apply({"params": params}, mel, method=Whisper.encode)
         return jnp.mean(states, axis=1)
 
     x = jnp.asarray(rng.normal(size=(batch, N_SAMPLES)).astype(np.float32) * 0.1)
-    embed(x).block_until_ready()  # compile
+    np.asarray(embed(params, x))  # compile + warm
+
+    # Timing through the remote-TPU tunnel is subtle: block_until_ready alone
+    # can return before execution finishes (impossible numbers), while a
+    # host readback per iteration serializes a ~30 ms tunnel round trip into
+    # every step. So: chain iterations ON DEVICE (step i+1 consumes a scalar
+    # from step i's output — forces serial execution) and read back once.
+    @jax.jit
+    def chained(params, x, n_arr):
+        def body(carry, _):
+            out = embed(params, x + carry)
+            return out[0, 0].astype(x.dtype) * 0.0, out[0, 0]
+        _, outs = jax.lax.scan(body, jnp.float32(0.0).astype(x.dtype), n_arr)
+        return outs
+
+    n_arr = jnp.zeros((iters,), jnp.float32)
+    np.asarray(chained(params, x, n_arr))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = embed(x)
-    out.block_until_ready()
+    sink = np.asarray(chained(params, x, n_arr))
     dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(sink).all()
     return batch / dt
 
 

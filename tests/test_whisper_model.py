@@ -46,10 +46,16 @@ def hf_pair():
         decoder_start_token_id=98,
     )
     hf = WhisperModel(hf_cfg).eval()
-    # HF random-inits the encoder position table; the real model uses fixed
-    # sinusoids (what we hardcode), so align it for the comparison.
+    # HF random-inits the encoder position table; align it with the exact
+    # table our encoder computes on device (sinusoids_jnp).
+    import numpy as _np
+
+    from wealy_tpu.models.whisper.model import sinusoids_jnp
+
     with torch.no_grad():
-        hf.encoder.embed_positions.weight.copy_(torch.tensor(sinusoids(1500, 64)))
+        hf.encoder.embed_positions.weight.copy_(
+            torch.tensor(_np.asarray(sinusoids_jnp(1500, 64)))
+        )
 
     cfg = WhisperConfig(
         n_mels=80,
@@ -181,3 +187,41 @@ def test_configs_registry():
     cfg = WHISPER_CONFIGS["tiny"]
     assert cfg.eot == 50257 and cfg.sot == 50258
     assert cfg.language_token(0) == 50259  # <|en|>
+
+
+class TestScanLayers:
+    def test_scanned_encoder_matches_looped(self, hf_pair, mel):
+        from wealy_tpu.models.whisper.convert import stack_block_params
+
+        hf, cfg, params = hf_pair
+        looped = WhisperEncoder(cfg, dtype=jnp.float32)
+        want = np.asarray(looped.apply({"params": params["encoder"]}, mel))
+
+        scanned = WhisperEncoder(cfg, dtype=jnp.float32, scan_layers=True)
+        sp = stack_block_params(params["encoder"], cfg.n_audio_layer)
+        got = np.asarray(scanned.apply({"params": sp}, mel))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_converter_scan_flag(self, hf_pair, mel):
+        from wealy_tpu.models.whisper import params_from_hf_state_dict
+
+        hf, cfg, _ = hf_pair
+        sp = params_from_hf_state_dict(hf.state_dict(), cfg, scan_layers=True)
+        assert "blocks" in sp["encoder"] and "block_0" not in sp["encoder"]
+        k = sp["encoder"]["blocks"]["block"]["attn"]["q"]["kernel"]
+        assert k.shape == (cfg.n_audio_layer, 64, 64)
+        scanned = WhisperEncoder(cfg, dtype=jnp.float32, scan_layers=True)
+        out = scanned.apply({"params": sp["encoder"]}, mel)
+        import torch
+
+        with torch.no_grad():
+            want = hf.encoder(torch.tensor(mel)).last_hidden_state.numpy()
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-3, atol=1e-3)
+
+    def test_init_shapes_match_stacked(self, hf_pair, mel):
+        hf, cfg, params = hf_pair
+        scanned = WhisperEncoder(cfg, dtype=jnp.float32, scan_layers=True)
+        init_p = scanned.init(jax.random.PRNGKey(0), mel)["params"]
+        assert init_p["blocks"]["block"]["attn"]["q"]["kernel"].shape == (
+            cfg.n_audio_layer, 64, 64,
+        )

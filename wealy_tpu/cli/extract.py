@@ -31,7 +31,8 @@ def load_whisper_model(config: Config, hf_checkpoint: Optional[str] = None):
     )
 
     cfg = WHISPER_CONFIGS[config.model.whisper_size]
-    model = Whisper(cfg, dtype=jnp.bfloat16)
+    scan = getattr(config.model, "scan_layers", True)
+    model = Whisper(cfg, dtype=jnp.bfloat16, scan_layers=scan)
     if hf_checkpoint:
         import torch
 
@@ -43,9 +44,9 @@ def load_whisper_model(config: Config, hf_checkpoint: Optional[str] = None):
         if "model_state_dict" in sd or any(
             k.startswith("encoder.blocks.") for k in sd
         ):
-            params = params_from_openai_state_dict(sd, cfg)
+            params = params_from_openai_state_dict(sd, cfg, scan_layers=scan)
         else:
-            params = params_from_hf_state_dict(sd, cfg)
+            params = params_from_hf_state_dict(sd, cfg, scan_layers=scan)
     else:
         mel0 = jnp.zeros((1, cfg.n_mels, 3000), jnp.float32)
         params = model.init(

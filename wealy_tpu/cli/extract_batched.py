@@ -142,9 +142,11 @@ def make_encoder_embed_fn(config: Config, hf_checkpoint: Optional[str] = None):
     model, params, wcfg = load_whisper_model(config, hf_checkpoint)
 
     @jax.jit
-    def embed(audio):
+    def _embed(params, audio):
         mel = log_mel_spectrogram_pallas(audio, n_mels=wcfg.n_mels)
         states = model.apply({"params": params}, mel, method=Whisper.encode)
         return jnp.mean(states, axis=1)
 
-    return embed
+    # params as a jit argument (closure params blow up remote-compile
+    # requests — BENCH_NOTES.md); bind them here for the driver interface
+    return lambda audio: _embed(params, audio)

@@ -57,8 +57,23 @@ def _dec_block(sd, prefix):
     return out
 
 
+def stack_block_params(section: dict, n_layers: int) -> dict:
+    """Convert per-layer ``block_i`` params to the nn.scan layout:
+    {"blocks": {"block": <stacked leaves with leading layer axis>}}. Other
+    entries (convs, ln_post, embeddings) pass through unchanged."""
+    import jax
+
+    layers = [section[f"block_{i}"] for i in range(n_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *layers)
+    out = {k: v for k, v in section.items() if not k.startswith("block_")}
+    out["blocks"] = {"block": stacked}
+    return out
+
+
 def params_from_openai_state_dict(
-    state_dict: Mapping[str, object], config: WhisperConfig
+    state_dict: Mapping[str, object],
+    config: WhisperConfig,
+    scan_layers: bool = False,
 ) -> dict:
     """Build the param tree from an OpenAI-format Whisper checkpoint
     (``whisper`` pip package naming: encoder.blocks.N.attn.query / key /
@@ -113,11 +128,15 @@ def params_from_openai_state_dict(
     }
     for i in range(config.n_text_layer):
         dec[f"block_{i}"] = block(f"decoder.blocks.{i}", cross=True)
+    if scan_layers:
+        enc = stack_block_params(enc, config.n_audio_layer)
     return {"encoder": enc, "decoder": dec}
 
 
 def params_from_hf_state_dict(
-    state_dict: Mapping[str, object], config: WhisperConfig
+    state_dict: Mapping[str, object],
+    config: WhisperConfig,
+    scan_layers: bool = False,
 ) -> dict:
     """Build the ``{"encoder": ..., "decoder": ...}`` param tree for
     :class:`wealy_tpu.models.whisper.model.Whisper` from an HF state dict.
@@ -155,4 +174,6 @@ def params_from_hf_state_dict(
     for i in range(config.n_text_layer):
         dec[f"block_{i}"] = _dec_block(sd, f"decoder.layers.{i}")
 
+    if scan_layers:
+        enc = stack_block_params(enc, config.n_audio_layer)
     return {"encoder": enc, "decoder": dec}

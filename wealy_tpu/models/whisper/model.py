@@ -36,6 +36,26 @@ def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.
     )
 
 
+def sinusoids_jnp(length: int, channels: int, max_timescale: float = 10000.0):
+    """Device-computed sinusoids (traced ops, f32).
+
+    Used inside jit instead of embedding the numpy table as an MLIR constant:
+    for whisper-base+ the inlined 1500 x D f32 table pushes the serialized
+    module past compile-service request limits (HTTP 413), and a few hundred
+    KB of transcendentals at trace time is free. Matches :func:`sinusoids`
+    to ~2e-4 absolute (f32 argument rounding at position 1500).
+    """
+    assert channels % 2 == 0
+    import math
+
+    log_timescale_increment = math.log(max_timescale) / (channels // 2 - 1)
+    inv = jnp.exp(
+        -log_timescale_increment * jnp.arange(channels // 2, dtype=jnp.float32)
+    )
+    t = jnp.arange(length, dtype=jnp.float32)[:, None] * inv[None, :]
+    return jnp.concatenate([jnp.sin(t), jnp.cos(t)], axis=1)
+
+
 class MultiHeadAttention(nn.Module):
     """Whisper-style MHA: q/k scaled by d_head**-0.25 each, k_proj has no bias.
 
@@ -146,11 +166,37 @@ class ResidualAttentionBlock(nn.Module):
         return x + h, new_cache
 
 
+class _ScanBlockBody(nn.Module):
+    """nn.scan body: one ResidualAttentionBlock applied per carry step."""
+
+    n_state: int
+    n_head: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, carry, _):
+        y, _ = ResidualAttentionBlock(
+            self.n_state, self.n_head, dtype=self.dtype, name="block"
+        )(carry)
+        return y, None
+
+
 class WhisperEncoder(nn.Module):
-    """Mel (B, n_mels, 3000) -> audio states (B, 1500, D)."""
+    """Mel (B, n_mels, 3000) -> audio states (B, 1500, D).
+
+    ``scan_layers``: apply the transformer stack as ``nn.scan`` over stacked
+    per-layer params ("blocks"/"block"/... with a leading layer axis) instead
+    of L unrolled blocks ("block_i"/...). The compiled module then contains
+    ONE block body (one Pallas attention payload) regardless of depth —
+    required for base+ models through size-limited compile services, and much
+    faster to compile for large/32-layer configs. Convert checkpoints with
+    ``params_from_*_state_dict(..., scan_layers=True)`` or
+    :func:`stack_block_params`.
+    """
 
     config: WhisperConfig
     dtype: Any = jnp.bfloat16
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, mel):
@@ -163,13 +209,24 @@ class WhisperEncoder(nn.Module):
         )(x)
         x = nn.gelu(x, approximate=False)  # (B, 1500, D)
 
-        pos = jnp.asarray(sinusoids(cfg.n_audio_ctx, cfg.n_audio_state))
+        pos = sinusoids_jnp(cfg.n_audio_ctx, cfg.n_audio_state)
         x = x + pos[None, : x.shape[1]].astype(self.dtype)
 
-        for i in range(cfg.n_audio_layer):
-            x, _ = ResidualAttentionBlock(
-                cfg.n_audio_state, cfg.n_audio_head, dtype=self.dtype, name=f"block_{i}"
-            )(x)
+        if self.scan_layers:
+            Scan = nn.scan(
+                _ScanBlockBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.n_audio_layer,
+            )
+            x, _ = Scan(
+                cfg.n_audio_state, cfg.n_audio_head, dtype=self.dtype, name="blocks"
+            )(x, None)
+        else:
+            for i in range(cfg.n_audio_layer):
+                x, _ = ResidualAttentionBlock(
+                    cfg.n_audio_state, cfg.n_audio_head, dtype=self.dtype, name=f"block_{i}"
+                )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x)
         return x.astype(self.dtype)
 
@@ -261,9 +318,12 @@ class Whisper(nn.Module):
 
     config: WhisperConfig
     dtype: Any = jnp.bfloat16
+    scan_layers: bool = False
 
     def setup(self):
-        self.encoder = WhisperEncoder(self.config, dtype=self.dtype)
+        self.encoder = WhisperEncoder(
+            self.config, dtype=self.dtype, scan_layers=self.scan_layers
+        )
         self.decoder = WhisperDecoder(self.config, dtype=self.dtype)
 
     def __call__(self, mel, tokens):

@@ -52,6 +52,7 @@ class ModelConfig:
     name: str = "whisper"  # the 7 names (collate_functions.py:428-430)
     zdim: int = 512
     whisper_size: str = "tiny"  # extraction model (tiny..large-v3-turbo)
+    scan_layers: bool = True  # nn.scan encoder stack (compile-scalable)
 
 
 @dataclasses.dataclass

@@ -225,3 +225,63 @@ class TestScanLayers:
         assert init_p["blocks"]["block"]["attn"]["q"]["kernel"].shape == (
             cfg.n_audio_layer, 64, 64,
         )
+
+    def test_scanned_decoder_matches_looped(self, hf_pair, mel):
+        from wealy_tpu.models.whisper.convert import stack_block_params
+
+        hf, cfg, params = hf_pair
+        tokens = np.array([[5, 17, 3], [1, 2, 3]], np.int32)
+        looped = Whisper(cfg, dtype=jnp.float32)
+        enc = looped.apply({"params": params}, mel, method=Whisper.encode)
+        want_h, want_l = looped.apply({"params": params}, mel, tokens)
+
+        sp = {
+            "encoder": stack_block_params(params["encoder"], cfg.n_audio_layer),
+            "decoder": stack_block_params(params["decoder"], cfg.n_text_layer),
+        }
+        scanned = Whisper(cfg, dtype=jnp.float32, scan_layers=True)
+        got_h, got_l = scanned.apply({"params": sp}, mel, tokens)
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l), rtol=1e-3, atol=1e-3)
+
+    def test_scanned_greedy_matches_looped(self, hf_pair, mel):
+        from wealy_tpu.models.whisper.convert import stack_block_params
+
+        hf, cfg, params = hf_pair
+        looped = Whisper(cfg, dtype=jnp.float32)
+        enc = looped.apply({"params": params}, mel, method=Whisper.encode)
+        want = greedy_decode(looped, params, enc, cfg, prompt=[7, 8], max_len=10, eot=99)
+
+        sp = {
+            "encoder": stack_block_params(params["encoder"], cfg.n_audio_layer),
+            "decoder": stack_block_params(params["decoder"], cfg.n_text_layer),
+        }
+        scanned = Whisper(cfg, dtype=jnp.float32, scan_layers=True)
+        enc2 = scanned.apply({"params": sp}, mel, method=Whisper.encode)
+        got = greedy_decode(scanned, sp, enc2, cfg, prompt=[7, 8], max_len=10, eot=99)
+        np.testing.assert_array_equal(np.asarray(got["tokens"]), np.asarray(want["tokens"]))
+        np.testing.assert_allclose(
+            np.asarray(got["hidden"]), np.asarray(want["hidden"]), rtol=1e-3, atol=1e-4
+        )
+
+    def test_scanned_all_hiddens(self, hf_pair, mel):
+        from wealy_tpu.models.whisper.convert import stack_block_params
+
+        hf, cfg, params = hf_pair
+        tokens = np.array([[5, 17, 3], [1, 2, 3]], np.int32)
+        looped = Whisper(cfg, dtype=jnp.float32)
+        enc = looped.apply({"params": params}, mel, method=Whisper.encode)
+        _, _, want_all = looped.apply(
+            {"params": params}, tokens, enc, return_all_hiddens=True, method=Whisper.decode
+        )
+        sp = {
+            "encoder": stack_block_params(params["encoder"], cfg.n_audio_layer),
+            "decoder": stack_block_params(params["decoder"], cfg.n_text_layer),
+        }
+        scanned = Whisper(cfg, dtype=jnp.float32, scan_layers=True)
+        _, _, got_all = scanned.apply(
+            {"params": sp}, tokens, enc, return_all_hiddens=True, method=Whisper.decode
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_all), np.asarray(want_all), rtol=1e-4, atol=1e-5
+        )

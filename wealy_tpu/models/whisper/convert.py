@@ -130,6 +130,7 @@ def params_from_openai_state_dict(
         dec[f"block_{i}"] = block(f"decoder.blocks.{i}", cross=True)
     if scan_layers:
         enc = stack_block_params(enc, config.n_audio_layer)
+        dec = stack_block_params(dec, config.n_text_layer)
     return {"encoder": enc, "decoder": dec}
 
 
@@ -176,4 +177,5 @@ def params_from_hf_state_dict(
 
     if scan_layers:
         enc = stack_block_params(enc, config.n_audio_layer)
+        dec = stack_block_params(dec, config.n_text_layer)
     return {"encoder": enc, "decoder": dec}

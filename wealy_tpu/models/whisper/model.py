@@ -166,6 +166,38 @@ class ResidualAttentionBlock(nn.Module):
         return x + h, new_cache
 
 
+class _ScanDecBody(nn.Module):
+    """nn.scan body for the decoder: one cross-attention block per step, with
+    optional per-layer KV-cache xs/ys and optional hidden collection."""
+
+    n_state: int
+    n_head: int
+    dtype: Any = jnp.bfloat16
+    use_cache: bool = False
+    collect_hiddens: bool = False
+
+    @nn.compact
+    def __call__(self, carry, xs, audio_states, mask):
+        x, cache_index = carry
+        ck, cv = xs
+        y, new_cache = ResidualAttentionBlock(
+            self.n_state,
+            self.n_head,
+            cross_attention=True,
+            dtype=self.dtype,
+            name="block",
+        )(
+            x,
+            xa=audio_states,
+            mask=mask,
+            kv_cache=(ck, cv) if self.use_cache else None,
+            cache_index=cache_index if self.use_cache else None,
+        )
+        nk, nv = new_cache if new_cache is not None else (ck, cv)
+        hid = y if self.collect_hiddens else jnp.zeros((1,), self.dtype)
+        return (y, cache_index), (nk, nv, hid)
+
+
 class _ScanBlockBody(nn.Module):
     """nn.scan body: one ResidualAttentionBlock applied per carry step."""
 
@@ -240,6 +272,7 @@ class WhisperDecoder(nn.Module):
 
     config: WhisperConfig
     dtype: Any = jnp.bfloat16
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -285,18 +318,60 @@ class WhisperDecoder(nn.Module):
 
         new_caches = []
         all_hiddens = [x] if return_all_hiddens else None
-        for i in range(cfg.n_text_layer):
-            cache_i = None if kv_caches is None else kv_caches[i]
-            x, new_cache = ResidualAttentionBlock(
+        if self.scan_layers:
+            Scan = nn.scan(
+                _ScanDecBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(0, nn.broadcast, nn.broadcast),
+                out_axes=0,
+                length=cfg.n_text_layer,
+            )
+            if kv_caches is None:
+                # dummy stacked cache input so the scan body signature is
+                # uniform; the body ignores it when use_cache=False
+                xs = (
+                    jnp.zeros((cfg.n_text_layer, 1), self.dtype),
+                    jnp.zeros((cfg.n_text_layer, 1), self.dtype),
+                )
+                use_cache = False
+            else:
+                xs = (
+                    jnp.stack([c[0] for c in kv_caches]),
+                    jnp.stack([c[1] for c in kv_caches]),
+                )
+                use_cache = True
+            ci = jnp.asarray(0 if cache_index is None else cache_index, jnp.int32)
+            (x, _), ys = Scan(
                 cfg.n_text_state,
                 cfg.n_text_head,
-                cross_attention=True,
                 dtype=self.dtype,
-                name=f"block_{i}",
-            )(x, xa=audio_states, mask=mask, kv_cache=cache_i, cache_index=cache_index)
-            new_caches.append(new_cache)
+                use_cache=use_cache,
+                collect_hiddens=return_all_hiddens,
+                name="blocks",
+            )((x, ci), xs, audio_states, mask)
+            new_k, new_v, hid_stack = ys
+            if use_cache:
+                new_caches = [
+                    (new_k[i], new_v[i]) for i in range(cfg.n_text_layer)
+                ]
             if return_all_hiddens:
-                all_hiddens.append(x)
+                all_hiddens = [all_hiddens[0]] + [
+                    hid_stack[i] for i in range(cfg.n_text_layer)
+                ]
+        else:
+            for i in range(cfg.n_text_layer):
+                cache_i = None if kv_caches is None else kv_caches[i]
+                x, new_cache = ResidualAttentionBlock(
+                    cfg.n_text_state,
+                    cfg.n_text_head,
+                    cross_attention=True,
+                    dtype=self.dtype,
+                    name=f"block_{i}",
+                )(x, xa=audio_states, mask=mask, kv_cache=cache_i, cache_index=cache_index)
+                new_caches.append(new_cache)
+                if return_all_hiddens:
+                    all_hiddens.append(x)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(x)
         logits = jnp.einsum(
@@ -324,7 +399,9 @@ class Whisper(nn.Module):
         self.encoder = WhisperEncoder(
             self.config, dtype=self.dtype, scan_layers=self.scan_layers
         )
-        self.decoder = WhisperDecoder(self.config, dtype=self.dtype)
+        self.decoder = WhisperDecoder(
+            self.config, dtype=self.dtype, scan_layers=self.scan_layers
+        )
 
     def __call__(self, mel, tokens):
         audio_states = self.encoder(mel)

@@ -69,3 +69,21 @@ class TestTPEncoder:
         # each model shard holds 1/4 of the 4D output dim
         shard_shapes = {s.data.shape for s in k.addressable_shards}
         assert shard_shapes == {(64, 64)}  # (D, 4D/4)
+
+
+class TestTPScannedEncoder:
+    def test_scanned_tp_matches_unsharded(self, setup):
+        from wealy_tpu.models.whisper.convert import stack_block_params
+
+        cfg, enc, params, mel = setup
+        want = np.asarray(enc.apply({"params": params}, mel))
+
+        scanned = WhisperEncoder(cfg, dtype=jnp.float32, scan_layers=True)
+        sp = stack_block_params(params, cfg.n_audio_layer)
+        mesh = make_tp_mesh(n_model=4, n_data=2)
+        sharded = shard_params(sp, mesh)
+        # stacked kernel (L, D, 4D) must be sharded on its LAST dim
+        k = sharded["blocks"]["block"]["mlp_fc1"]["kernel"]
+        assert {s.data.shape for s in k.addressable_shards} == {(2, 64, 64)}
+        got = np.asarray(tp_encode_fn(scanned, mesh)(sharded, mel))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -46,21 +46,25 @@ _RULES = (
 )
 
 
-def _spec_for(path: tuple) -> P:
+def _spec_for(path: tuple, ndim: int) -> P:
     names = tuple(
         p.key if hasattr(p, "key") else str(p) for p in path
     )
     for pattern, spec in _RULES:
         if len(names) >= len(pattern) and tuple(names[-len(pattern):]) == pattern:
+            if "blocks" in names and ndim == len(spec) + 1:
+                # nn.scan layout: leading layer axis — shift the spec right
+                return P(None, *spec)
             return spec
     return P()  # replicated
 
 
 def whisper_param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for a Whisper param tree on a mesh with a
-    ``model`` axis (and optionally ``data``)."""
+    ``model`` axis (and optionally ``data``). Handles both the unrolled
+    (block_i) and nn.scan (blocks/block, leading layer axis) layouts."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _spec_for(path)), params
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf.ndim)), params
     )
 
 

@@ -105,3 +105,23 @@ class TestBatchedExtraction:
             config, md, "train", _mean_embed, kind="x_concat", batch_size=2
         )
         assert result["throughput"]["total_items"] == 6  # 1+2+3 chunks
+
+
+class TestMultiWorkerDecode:
+    def test_parallel_decode_matches_serial(self, setup):
+        config, md, tmp_path = setup
+        r1 = extract_split_batched(
+            config, md, "train", _mean_embed, kind="x_concat",
+            batch_size=4, overwrite=True, n_workers=1,
+        )
+        store = EmbeddingStore(config.path.hidden_states, "lyric-covers")
+        serial = {k: store.load(k, "x_concat.npz")["embeddings"] for k in r1["done"]}
+        r2 = extract_split_batched(
+            config, md, "train", _mean_embed, kind="x_concat",
+            batch_size=4, overwrite=True, n_workers=3,
+        )
+        assert sorted(r2["done"]) == sorted(r1["done"])
+        for k, v in serial.items():
+            np.testing.assert_allclose(
+                store.load(k, "x_concat.npz")["embeddings"], v, atol=1e-6
+            )

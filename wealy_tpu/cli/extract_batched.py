@@ -38,14 +38,52 @@ class _SongAcc:
     embeddings: Optional[np.ndarray] = None  # (n_chunks, D)
 
 
-def _chunk_stream(ds: AudioDataset, limit: Optional[int]) -> Iterator[Tuple[str, int, int, np.ndarray]]:
-    """Yield (version_key, chunk_idx, n_chunks, chunk_audio) host-side."""
+def _chunk_stream(
+    ds: AudioDataset, limit: Optional[int], n_workers: int = 1
+) -> Iterator[Tuple[str, int, int, np.ndarray]]:
+    """Yield (version_key, chunk_idx, n_chunks, chunk_audio) host-side.
+
+    ``n_workers > 1`` decodes files on a thread pool with a bounded in-flight
+    window (order preserved). Decode is dominated by the native C decoder /
+    numpy, which release the GIL, so threads give real parallelism.
+    """
     versions = ds.versions[:limit] if limit else ds.versions
-    for version_key in versions:
-        item = ds[ds.versions.index(version_key)]
-        chunks = chunk_waveform(item.waveform)
-        for i in range(chunks.shape[0]):
-            yield version_key, i, chunks.shape[0], chunks[i]
+    index_of = {v: i for i, v in enumerate(ds.versions)}
+
+    if n_workers <= 1:
+        for version_key in versions:
+            item = ds[index_of[version_key]]
+            chunks = chunk_waveform(item.waveform)
+            for i in range(chunks.shape[0]):
+                yield version_key, i, chunks.shape[0], chunks[i]
+        return
+
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        window = 2 * n_workers
+        pending = deque()
+        it = iter(versions)
+
+        def submit_next():
+            try:
+                v = next(it)
+            except StopIteration:
+                return False
+            pending.append((v, pool.submit(lambda v=v: ds[index_of[v]])))
+            return True
+
+        for _ in range(window):
+            if not submit_next():
+                break
+        while pending:
+            version_key, fut = pending.popleft()
+            item = fut.result()
+            submit_next()
+            chunks = chunk_waveform(item.waveform)
+            for i in range(chunks.shape[0]):
+                yield version_key, i, chunks.shape[0], chunks[i]
 
 
 def extract_split_batched(
@@ -59,6 +97,7 @@ def extract_split_batched(
     mesh=None,
     limit: Optional[int] = None,
     overwrite: bool = False,
+    n_workers: int = 4,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Run one embedding kind over a split with cross-song chunk batching.
@@ -110,7 +149,7 @@ def extract_split_batched(
                 done.append(version_key)
                 del accs[version_key]
 
-    for entry in prefetch(_chunk_stream(ds, limit), depth=2 * batch_size):
+    for entry in prefetch(_chunk_stream(ds, limit, n_workers=n_workers), depth=2 * batch_size):
         pending.append(entry)
         if len(pending) == batch_size:
             flush(pending)

@@ -214,3 +214,13 @@ class TestWealySongEval:
                           "wealy_all_chunks": chunks})
         m = evaluate_wealy_songs(songs, redux="smean")
         assert m["MAP"] == 1.0 and m["MR1"] == 1.0
+
+
+class TestStreamingEvaluateCLI:
+    def test_streaming_flag(self, project, capsys):
+        _, cpath, _ = project
+        rc = main(["evaluate", "--config", str(cpath), "--split", "test",
+                   "--streaming"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["n_queries"] == 4 and 0.0 <= out["MAP"] <= 1.0

@@ -125,3 +125,44 @@ class TestMultiWorkerDecode:
             np.testing.assert_allclose(
                 store.load(k, "x_concat.npz")["embeddings"], v, atol=1e-6
             )
+
+
+class TestBatchedDecoderExtraction:
+    def _decode_fn(self, audio):
+        import jax.numpy as jnp
+
+        # fake decoder: 3 hidden positions per chunk, length = 2 or 3 by parity
+        B = audio.shape[0]
+        base = jnp.mean(audio, axis=1, keepdims=True)  # (B, 1)
+        hidden = jnp.stack([base + i for i in range(3)], axis=1)  # (B, 3, 1)
+        hidden = jnp.concatenate([hidden, hidden], axis=-1)  # (B, 3, 2)
+        lengths = jnp.where(jnp.arange(B) % 2 == 0, 2, 3)
+        return hidden, lengths
+
+    def test_hs_last_all_layout(self, setup):
+        from wealy_tpu.cli.extract_batched import extract_split_batched_decoder
+
+        config, md, tmp_path = setup
+        result = extract_split_batched_decoder(
+            config, md, "train", self._decode_fn, kind="hs_last_all",
+            batch_size=4, overwrite=True,
+        )
+        assert sorted(result["done"]) == ["100", "101", "200"]
+        store = EmbeddingStore(config.path.hidden_states, "lyric-covers")
+        out = store.load("200", "hs_last_all.npz")
+        assert out["embeddings"].shape == (3, 3, 2)  # (n_chunks, max_len, D)
+        assert out["lengths"].shape == (3,)
+
+    def test_hs_last_seq_flattened(self, setup):
+        from wealy_tpu.cli.extract_batched import extract_split_batched_decoder
+
+        config, md, tmp_path = setup
+        result = extract_split_batched_decoder(
+            config, md, "train", self._decode_fn, kind="hs_last_seq",
+            batch_size=4, overwrite=True,
+        )
+        store = EmbeddingStore(config.path.hidden_states, "lyric-covers")
+        out = store.load("101", "hs_last_seq.npz")
+        # 2 chunks, lengths in {2,3} -> flattened total in [4, 6]
+        assert out["embeddings"].ndim == 2 and out["embeddings"].shape[1] == 2
+        assert 4 <= out["embeddings"].shape[0] <= 6

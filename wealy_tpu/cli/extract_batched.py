@@ -172,6 +172,123 @@ def extract_split_batched(
     }
 
 
+def extract_split_batched_decoder(
+    config: Config,
+    metadata: Metadata,
+    split: str,
+    decode_fn: Callable,
+    *,
+    kind: str = "hs_last_seq",
+    batch_size: int = 16,
+    limit: Optional[int] = None,
+    overwrite: bool = False,
+    n_workers: int = 4,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """Batched DECODER-embedding extraction (hs_last_all / hs_last_seq kinds).
+
+    ``decode_fn(audio (B, N_SAMPLES)) -> (hidden (B, max_len, D),
+    lengths (B,))`` — see :func:`make_decoder_embed_fn`. Chunks from many
+    songs share device batches exactly like the encoder driver; per-song
+    results store as ``hidden (n_chunks, max_len, D)`` + ``lengths`` (the
+    hs_last_all layout), or flattened valid positions for hs_last_seq.
+    """
+    from wealy_tpu.models.whisper.extract import flatten_decoder_sequence
+
+    store = EmbeddingStore(config.path.hidden_states, config.data.dataset_name)
+    ds = AudioDataset(metadata, split, config.path.data)
+    filename = f"{kind}.npz"
+    flatten = kind.startswith("hs_last_seq")
+
+    if not overwrite:
+        versions = [v for v in (ds.versions[:limit] if limit else ds.versions)
+                    if not store.exists(v, filename)]
+        skipped = (len(ds.versions[:limit] if limit else ds.versions) - len(versions))
+        ds.versions = versions
+        limit = None
+    else:
+        skipped = 0
+
+    meter = ThroughputMeter(window=20)
+    hidden_acc: Dict[str, list] = {}
+    length_acc: Dict[str, list] = {}
+    expect: Dict[str, int] = {}
+    done: List[str] = []
+    pending: List[Tuple[str, int, int, np.ndarray]] = []
+
+    def flush(batch):
+        B = len(batch)
+        audio = np.zeros((batch_size, N_SAMPLES), np.float32)
+        for i, (_, _, _, chunk) in enumerate(batch):
+            audio[i] = chunk
+        hidden, lengths = decode_fn(jnp.asarray(audio))
+        hidden = np.asarray(hidden, np.float32)[:B]
+        lengths = np.asarray(lengths)[:B]
+        meter.tick(B)
+        for (version_key, chunk_idx, n_chunks, _), hid, L in zip(batch, hidden, lengths):
+            expect[version_key] = n_chunks
+            hidden_acc.setdefault(version_key, [None] * n_chunks)[chunk_idx] = hid
+            length_acc.setdefault(version_key, [0] * n_chunks)[chunk_idx] = int(L)
+            if all(h is not None for h in hidden_acc[version_key]):
+                hid_all = np.stack(hidden_acc[version_key])  # (n_chunks, max_len, D)
+                lens = np.array(length_acc[version_key], np.int32)
+                if flatten:
+                    store.save(
+                        version_key,
+                        filename,
+                        embeddings=flatten_decoder_sequence(hid_all, lens),
+                    )
+                else:
+                    store.save(version_key, filename, embeddings=hid_all, lengths=lens)
+                done.append(version_key)
+                del hidden_acc[version_key], length_acc[version_key]
+
+    for entry in prefetch(_chunk_stream(ds, limit, n_workers=n_workers), depth=2 * batch_size):
+        pending.append(entry)
+        if len(pending) == batch_size:
+            flush(pending)
+            pending = []
+    if pending:
+        flush(pending)
+
+    incomplete = sorted(hidden_acc.keys())
+    audit_dir = config.path.cache or config.path.working_dir
+    if audit_dir:
+        store.verify(metadata, filename, out_dir=audit_dir)
+    return {
+        "done": done,
+        "skipped": skipped,
+        "incomplete": incomplete,
+        "throughput": meter.report(),
+    }
+
+
+def make_decoder_embed_fn(
+    config: Config,
+    hf_checkpoint: Optional[str] = None,
+    language: Optional[int] = 0,
+    max_len: int = 224,
+):
+    """decode_fn for :func:`extract_split_batched_decoder`: mel -> encoder ->
+    greedy decode -> (last hidden states, lengths)."""
+    from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas
+    from wealy_tpu.cli.extract import load_whisper_model
+    from wealy_tpu.models.whisper.generate import default_prompt, greedy_decode
+    from wealy_tpu.models.whisper.model import Whisper
+
+    model, params, wcfg = load_whisper_model(config, hf_checkpoint)
+    prompt = default_prompt(wcfg, language=language)
+
+    @jax.jit
+    def _decode(params, audio):
+        mel = log_mel_spectrogram_pallas(audio, n_mels=wcfg.n_mels)
+        enc = model.apply({"params": params}, mel, method=Whisper.encode)
+        out = greedy_decode(model, params, enc, wcfg, prompt=prompt, max_len=max_len)
+        return out["hidden"], out["lengths"]
+
+    return lambda audio: _decode(params, audio)
+
+
 def make_encoder_embed_fn(config: Config, hf_checkpoint: Optional[str] = None):
     """Default embed_fn: fused Pallas mel -> Whisper encoder -> mean pool."""
     from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas

@@ -40,17 +40,38 @@ def cmd_extract(args) -> int:
 
         mesh = make_mesh() if len(jax.devices()) > 1 else None
         kind = args.kinds.split(",")[0]
-        result = extract_split_batched(
-            config,
-            md,
-            args.split,
-            make_encoder_embed_fn(config, args.hf_checkpoint),
-            kind=kind,
-            batch_size=args.batch_size,
-            mesh=mesh,
-            limit=args.limit,
-            overwrite=args.overwrite,
-        )
+        if kind.startswith("hs_last"):
+            from wealy_tpu.cli.extract_batched import (
+                extract_split_batched_decoder,
+                make_decoder_embed_fn,
+            )
+
+            result = extract_split_batched_decoder(
+                config,
+                md,
+                args.split,
+                make_decoder_embed_fn(
+                    config,
+                    args.hf_checkpoint,
+                    language=0 if kind.endswith("_en") else None,
+                ),
+                kind=kind,
+                batch_size=args.batch_size,
+                limit=args.limit,
+                overwrite=args.overwrite,
+            )
+        else:
+            result = extract_split_batched(
+                config,
+                md,
+                args.split,
+                make_encoder_embed_fn(config, args.hf_checkpoint),
+                kind=kind,
+                batch_size=args.batch_size,
+                mesh=mesh,
+                limit=args.limit,
+                overwrite=args.overwrite,
+            )
         print(json.dumps({
             "done": len(result["done"]),
             "skipped": result["skipped"],
@@ -253,10 +274,26 @@ def cmd_evaluate(args) -> int:
     sets, set_mask, batch_idx, _ = regroup_chunks(z, batch.chunk_info, batch.chunk_valid)
     labels = np.array([items[i][0] for i in batch_idx])
     ids = np.array([items[i][1][0][0] for i in batch_idx])
-    metrics = evaluate_retrieval(
-        sets, set_mask, labels, version_ids=ids, redux=args.redux
-    )
-    metrics.pop("_dist")
+    if args.streaming:
+        # corpus-scale path: mean-pool chunk sets to one vector per song and
+        # stream column blocks (never materializes the full matrix)
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        w = set_mask[..., None].astype(np.float32)
+        song_vecs = (sets * w).sum(axis=1) / np.maximum(w.sum(axis=1), 1e-9)
+        ranks, n_rel = streaming_relevant_ranks(
+            song_vecs, song_vecs, labels, labels,
+            mode="cos", query_idx=ids, corpus_idx=ids,
+        )
+        metrics = map_from_ranks(ranks, n_rel)
+    else:
+        metrics = evaluate_retrieval(
+            sets, set_mask, labels, version_ids=ids, redux=args.redux
+        )
+        metrics.pop("_dist")
     print(json.dumps(metrics))
     return 0
 
@@ -360,6 +397,11 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--split", default="test")
     ev.add_argument("--checkpoint", default=None)
     ev.add_argument("--redux", default="bpwr")
+    ev.add_argument(
+        "--streaming",
+        action="store_true",
+        help="corpus-scale ranks via column-block streaming (no full NxN matrix)",
+    )
     ev.set_defaults(fn=cmd_evaluate)
     return p
 

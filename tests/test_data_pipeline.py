@@ -253,3 +253,13 @@ class TestCollateFactory:
         config.model.name = "wealy-clews"
         fn_test = create_collate_fn(config, use_overlapping_chunks=True)
         assert fn_test is wealy_test_mode_items
+
+
+class TestPathAccessors:
+    def test_embedding_and_audio_paths(self, fixture_tree):
+        config, store = fixture_tree
+        ds = EmbeddingDataset(config, "train", seed=0)
+        p = ds.get_embedding_path("100")
+        assert p is not None and p.name == "hs_last_seq.npz"
+        assert ds.get_embedding_path("nope") is None
+        assert ds.get_audio_path("100") is None  # no audio root configured

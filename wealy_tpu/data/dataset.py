@@ -234,6 +234,22 @@ class EmbeddingDataset:
             return data["embeddings"]
         return next(iter(data.values()))
 
+    def get_embedding_path(self, version_key: str):
+        """Resolved on-disk embedding path for a version (the reference's
+        return_paths / PathManager accessor surface, base_dataset.py:20-22,
+        path_manager.py:14)."""
+        return self.store.path(version_key, self.filename) if self.store else None
+
+    def get_audio_path(self, version_key: str):
+        """Resolved audio path (reference dataset.py:556-588 equivalent)."""
+        from wealy_tpu.data.paths import find_audio_path
+
+        if not self.config.path.data:
+            return None
+        return find_audio_path(
+            self.config.data.dataset_name, self.config.path.data, version_key
+        )
+
     def __len__(self) -> int:
         return len(self.sampler)
 

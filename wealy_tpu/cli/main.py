@@ -29,6 +29,14 @@ def cmd_extract(args) -> int:
 
     config = _load_config(args.config)
     md, _ = build_clean_dataset(config, check_audio=True)
+    if args.kinds.split(",")[0] == "hs_clews":
+        from wealy_tpu.models.clews_extract import extract_clews_split
+
+        result = extract_clews_split(
+            config, md, args.split, limit=args.limit, overwrite=args.overwrite
+        )
+        print(json.dumps({k: len(v) for k, v in result.items()}))
+        return 0 if not result["failed"] else 1
     if args.batched:
         import jax
 

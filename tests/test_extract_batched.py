@@ -166,3 +166,61 @@ class TestBatchedDecoderExtraction:
         # 2 chunks, lengths in {2,3} -> flattened total in [4, 6]
         assert out["embeddings"].ndim == 2 and out["embeddings"].shape[1] == 2
         assert 4 <= out["embeddings"].shape[0] <= 6
+
+
+class TestWealyEmbedFn:
+    def test_wealy_chunks_through_head(self, setup, monkeypatch):
+        """hs_wealy_concat production path: encoder+head per chunk via the
+        batched driver; per-song file shape (n_chunks, zdim)."""
+        import jax
+        import jax.numpy as jnp
+
+        config, md, tmp_path = setup
+        config.model.zdim = 16
+
+        from wealy_tpu.models.whisper import Whisper, WhisperConfig
+        import wealy_tpu.cli.extract as EX
+        import wealy_tpu.cli.extract_batched as EB
+
+        cfg = WhisperConfig(
+            n_mels=80, n_audio_ctx=4, n_audio_state=16, n_audio_head=2,
+            n_audio_layer=1, n_vocab=32, n_text_ctx=4, n_text_state=16,
+            n_text_head=2, n_text_layer=1,
+        )
+
+        def small_loader(config, hf_checkpoint=None):
+            model = Whisper(cfg, dtype=jnp.float32)
+            params = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)), jnp.zeros((1, 2), jnp.int32)
+            )["params"]
+            return model, params, cfg
+
+        monkeypatch.setattr(EX, "load_whisper_model", small_loader)
+        # shrink the mel frontend to the toy chunk length (monkeypatched
+        # N_SAMPLES=1000 in the fixture): use a fake mel of 8 frames
+        monkeypatch.setattr(
+            EB, "make_wealy_embed_fn", EB.make_wealy_embed_fn
+        )
+
+        from wealy_tpu.models.heads import ProjectionHead
+
+        head = ProjectionHead(zdim=16, hidden=(16,), dtype=jnp.float32)
+        model, params, _ = small_loader(config)
+        enc0 = jnp.zeros((1, 4, 16), jnp.float32)
+        head_params = head.init(jax.random.PRNGKey(1), enc0, jnp.ones((1, 4), bool))["params"]
+
+        def embed_fn(audio):
+            # stand-in for mel+encoder: pool audio into a (B, 4, 16) sequence
+            B = audio.shape[0]
+            seq = audio[:, : 4 * 16].reshape(B, 4, 16)
+            mask = jnp.ones((B, 4), bool)
+            return head.apply({"params": head_params}, jnp.asarray(seq), mask)
+
+        result = extract_split_batched(
+            config, md, "train", embed_fn, kind="hs_wealy_concat",
+            batch_size=4, overwrite=True,
+        )
+        assert sorted(result["done"]) == ["100", "101", "200"]
+        store = EmbeddingStore(config.path.hidden_states, "lyric-covers")
+        out = store.load("200", "hs_wealy_concat.npz")
+        assert out["embeddings"].shape == (3, 16)  # (n_chunks, zdim)

@@ -289,6 +289,52 @@ def make_decoder_embed_fn(
     return lambda audio: _decode(params, audio)
 
 
+def make_wealy_embed_fn(
+    config: Config,
+    hf_checkpoint: Optional[str] = None,
+    head_checkpoint: Optional[str] = None,
+):
+    """embed_fn producing WEALY chunk embeddings: mel -> Whisper encoder ->
+    ProjectionHead -> (B, zdim). Feeding this through the batched driver with
+    kind='hs_wealy_concat' yields the (n_chunks, zdim) per-song files the
+    multimodal datasets consume (multimodal_dataset.py:104-126 layout).
+
+    Head weights come from an orbax checkpoint dir (a trained metric-learning
+    head) or random init.
+    """
+    from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas
+    from wealy_tpu.cli.extract import load_whisper_model
+    from wealy_tpu.models.heads import ProjectionHead
+    from wealy_tpu.models.whisper.model import Whisper
+
+    model, params, wcfg = load_whisper_model(config, hf_checkpoint)
+    head = ProjectionHead(
+        zdim=config.model.zdim, hidden=(config.model.zdim,), dtype=jnp.bfloat16
+    )
+    head_params = None
+    ckpt_dir = head_checkpoint or config.path.checkpoints
+    if ckpt_dir:
+        from wealy_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        if mgr.latest_step() is not None:
+            head_params = mgr.restore()["params"]
+    if head_params is None:
+        enc0 = jnp.zeros((1, wcfg.n_audio_ctx, wcfg.n_audio_state), jnp.bfloat16)
+        head_params = head.init(
+            jax.random.PRNGKey(0), enc0, jnp.ones((1, wcfg.n_audio_ctx), bool)
+        )["params"]
+
+    @jax.jit
+    def _embed(params, head_params, audio):
+        mel = log_mel_spectrogram_pallas(audio, n_mels=wcfg.n_mels)
+        states = model.apply({"params": params}, mel, method=Whisper.encode)
+        mask = jnp.ones(states.shape[:2], bool)
+        return head.apply({"params": head_params}, states, mask)
+
+    return lambda audio: _embed(params, head_params, audio)
+
+
 def make_encoder_embed_fn(config: Config, hf_checkpoint: Optional[str] = None):
     """Default embed_fn: fused Pallas mel -> Whisper encoder -> mean pool."""
     from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas

@@ -69,11 +69,17 @@ def cmd_extract(args) -> int:
                 overwrite=args.overwrite,
             )
         else:
+            if kind == "hs_wealy_concat":
+                from wealy_tpu.cli.extract_batched import make_wealy_embed_fn
+
+                embed_fn = make_wealy_embed_fn(config, args.hf_checkpoint)
+            else:
+                embed_fn = make_encoder_embed_fn(config, args.hf_checkpoint)
             result = extract_split_batched(
                 config,
                 md,
                 args.split,
-                make_encoder_embed_fn(config, args.hf_checkpoint),
+                embed_fn,
                 kind=kind,
                 batch_size=args.batch_size,
                 mesh=mesh,

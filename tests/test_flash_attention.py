@@ -99,3 +99,43 @@ class TestEncoderIntegration:
         np.testing.assert_allclose(
             np.asarray(out_flash), np.asarray(out_plain), rtol=1e-5
         )
+
+
+class TestPallasBackward:
+    def test_bwd_kernels_match_reference_interpret(self, rng):
+        from wealy_tpu.ops.flash_attention import _flash_mha_bwd_impl
+
+        B, T, H, D = 1, 200, 2, 64
+        q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32) * 0.4)
+        k = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32) * 0.4)
+        v = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+        scale = 64**-0.5
+
+        _, vjp = jax.vjp(lambda q, k, v: _reference_mha(q, k, v, scale), q, k, v)
+        want = vjp(g)
+        with pltpu.force_tpu_interpret_mode():
+            got = _flash_mha_bwd_impl(q, k, v, g, scale, 128)
+        for a, b, name in zip(got, want, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3, err_msg=name
+            )
+
+    def test_bwd_unaligned_and_multiblock(self, rng):
+        from wealy_tpu.ops.flash_attention import _flash_mha_bwd_impl
+
+        # Tq=300 with block 128 -> 3 q-blocks incl. padding; Tk=300 padded
+        B, T, H, D = 2, 300, 2, 64
+        q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32) * 0.4)
+        k = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32) * 0.4)
+        v = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+        scale = 64**-0.5
+        _, vjp = jax.vjp(lambda q, k, v: _reference_mha(q, k, v, scale), q, k, v)
+        want = vjp(g)
+        with pltpu.force_tpu_interpret_mode():
+            got = _flash_mha_bwd_impl(q, k, v, g, scale, 128)
+        for a, b, name in zip(got, want, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3, err_msg=name
+            )

@@ -107,14 +107,152 @@ def flash_mha(q, k, v, scale: float, block_q: int = DEFAULT_BLOCK_Q):
     return _flash_mha_fwd_impl(q, k, v, scale, block_q)
 
 
+def _dq_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, *, scale: float, seq_len: int):
+    """dQ for one (batch*head, q-block): recompute p, then
+    ds = p * (dp - rowsum(p*dp)) * scale, dq = ds @ K."""
+    q = q_ref[0]
+    kk = k_ref[0]
+    vv = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)  # (bq, Tk) f32
+    dp = jax.lax.dot_general(
+        g, vv.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, Tk)
+    delta = jnp.sum(p * dp, axis=1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq_ref[0] = jnp.dot(
+        ds.astype(q.dtype), kk, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, g_ref, dk_ref, dv_ref, acc_dk, acc_dv, *, scale: float, seq_len: int
+):
+    """dK/dV for one (batch*head): accumulate over q-blocks (grid dim 1)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_dk[...] = jnp.zeros_like(acc_dk)
+        acc_dv[...] = jnp.zeros_like(acc_dv)
+
+    q = q_ref[0]
+    kk = k_ref[0]
+    vv = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    dp = jax.lax.dot_general(
+        g, vv.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = jnp.sum(p * dp, axis=1, keepdims=True)
+    ds = p * (dp - delta) * scale  # (bq, Tk)
+    # dk += ds^T @ q ; dv += p^T @ g
+    acc_dk[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_dv[...] += jax.lax.dot_general(
+        p.astype(q.dtype), g.astype(q.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _store():
+        dk_ref[0] = acc_dk[...].astype(dk_ref.dtype)
+        dv_ref[0] = acc_dv[...].astype(dv_ref.dtype)
+
+
+def _flash_mha_bwd_impl(q, k, v, g, scale: float, block_q: int):
+    B, T, H, D = q.shape
+    Tk = k.shape[1]
+    bq = min(block_q, _round_up(T, 128))
+    Tq_pad = _round_up(T, bq)
+    Tk_pad = _round_up(Tk, 128)
+
+    def to_bh(x, t_pad):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+        if x.shape[1] != t_pad:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
+        return x
+
+    qb, gb = to_bh(q, Tq_pad), to_bh(g, Tq_pad)
+    kb, vb = to_bh(k, Tk_pad), to_bh(v, Tk_pad)
+    n_q = Tq_pad // bq
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, seq_len=Tk),
+        grid=(B * H, n_q),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, Tk_pad, D), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, Tk_pad, D), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Tq_pad, D), q.dtype),
+    )(qb, kb, vb, gb)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, seq_len=Tk),
+        grid=(B * H, n_q),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, Tk_pad, D), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, Tk_pad, D), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Tk_pad, D), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, Tk_pad, D), lambda i, j: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Tk_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Tk_pad, D), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Tk_pad, D), jnp.float32),
+            pltpu.VMEM((Tk_pad, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(qb, kb, vb, gb)
+
+    def from_bh(x, t_real):
+        x = x[:, :t_real].reshape(B, H, t_real, D)
+        return jnp.swapaxes(x, 1, 2)
+
+    return from_bh(dq, T), from_bh(dk, Tk), from_bh(dv, Tk)
+
+
 def _fwd(q, k, v, scale, block_q):
     return flash_mha(q, k, v, scale, block_q), (q, k, v)
 
 
 def _bwd(scale, block_q, residuals, g):
     q, k, v = residuals
-    _, vjp = jax.vjp(lambda q, k, v: _reference_mha(q, k, v, scale), q, k, v)
-    return vjp(g)
+    if jax.default_backend() != "tpu":
+        _, vjp = jax.vjp(lambda q, k, v: _reference_mha(q, k, v, scale), q, k, v)
+        return vjp(g)
+    return _flash_mha_bwd_impl(q, k, v, g, scale, block_q)
 
 
 flash_mha.defvjp(_fwd, _bwd)

@@ -206,3 +206,51 @@ def test_embedding_filename_taxonomy():
     assert embedding_filename("multimodal", "any") == "multimodal"
     with pytest.raises(ValueError):
         embedding_filename("bogus", "concat")
+
+
+class TestSHSProductionScale:
+    """Scale test against the REAL SHS100K split files shipped with the
+    reference snapshot (read-only; 87k/10.9k/10.5k rows)."""
+
+    SPLITS = "/root/reference/datasets/shs"
+
+    @pytest.mark.skipif(
+        not __import__("pathlib").Path(SPLITS + "/SHS100K-TRAIN").exists(),
+        reason="reference split files not mounted",
+    )
+    def test_full_scale_load(self, tmp_path):
+        import time
+
+        # synthesize the (stripped) main CSV from the split files themselves
+        frames = []
+        for name in ("SHS100K-TRAIN", "SHS100K-VAL", "SHS100K-TEST"):
+            df = pd.read_csv(
+                f"{self.SPLITS}/{name}", sep="\t", header=None,
+                names=["set_id", "ver_id"], usecols=[0, 1],
+            )
+            frames.append(df)
+        main = pd.concat(frames, ignore_index=True).drop_duplicates()
+        main["title"] = "t"
+        csv = tmp_path / "shs_data.csv"
+        main.to_csv(csv, index=False)
+
+        t0 = time.perf_counter()
+        md = load_shs(csv, self.SPLITS)
+        dt = time.perf_counter() - t0
+        n = md.n_versions()
+        assert n > 100_000, n
+        assert len(md.splits["train"]) > 5_000
+        # vectorized reader must stay fast at production scale
+        assert dt < 30, f"metadata build took {dt:.1f}s"
+
+        t0 = time.perf_counter()
+        assign_deterministic_ids(md)
+        assert time.perf_counter() - t0 < 10
+        mapping = global_clique_id_mapping(md)
+        n_cliques = sum(len(md.splits[s]) for s in ("train", "val", "test"))
+        # cliques overlapping splits keep their last assignment; mapping
+        # covers every distinct clique id
+        assert len(mapping) == len(set(
+            c for s in ("train", "val", "test") for c in md.splits[s]
+        ))
+        assert n_cliques >= len(mapping)

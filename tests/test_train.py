@@ -213,3 +213,27 @@ class TestBatchStatsTraining:
         assert np.isfinite(float(logdict["loss"]))
         bs_after = np.asarray(jax.tree_util.tree_leaves(new_state.batch_stats)[0])
         assert not np.allclose(bs_before, bs_after)  # running stats moved
+
+
+class TestEvalHook:
+    def test_eval_fn_called_and_logged(self):
+        md = _toy_md()
+        sampler = CliqueSampler(md, "train", _toy_loader(), n_per_class=2, seed=0)
+        model = ProjectionHead(zdim=8, hidden=(16,))
+        state = create_train_state(
+            model, (jnp.zeros((8, 12, 16)), jnp.ones((8, 12), bool)),
+            tx=make_optimizer(lr=1e-3, warmup_steps=1, max_steps=50),
+        )
+        step = make_train_step(model, clews_loss)
+        calls = []
+
+        def eval_fn(state):
+            calls.append(int(state.step))
+            return {"MAP": 0.5}
+
+        writer = MetricsWriter(log_every=0)
+        fit(state, step, sampler, batch_size=8, chunk_size=12, max_steps=9,
+            writer=writer, eval_fn=eval_fn, eval_every=3)
+        assert calls == [3, 6, 9]
+        vals = [h for h in writer.history if "val_MAP" in h]
+        assert len(vals) == 3 and vals[0]["val_MAP"] == 0.5

@@ -79,11 +79,17 @@ def fit(
     checkpoint_every: int = 1000,
     rng: Optional[np.random.Generator] = None,
     make_batch: Optional[Callable] = None,
+    eval_fn: Optional[Callable] = None,
+    eval_every: int = 1000,
 ):
     """Run training until ``max_steps`` (or ``epochs``). Returns final state.
 
     ``make_batch(items) -> dict`` overrides the default single-modal collate
     (use wealy_tpu.train.multimodal adapters for the fusion models).
+
+    ``eval_fn(state) -> dict`` runs every ``eval_every`` steps; its scalars are
+    written to the metrics stream prefixed ``val_`` (the conf.train.eval_every
+    channel of the implied reference driver, SURVEY.md §5.6).
     """
     writer = writer or MetricsWriter()
     rng = rng or np.random.default_rng(0)
@@ -104,6 +110,9 @@ def fit(
             state, logdict = train_step(state, make_batch(items))
             step += 1
             writer.write(step, logdict)
+            if eval_fn is not None and step % eval_every == 0:
+                val = eval_fn(state)
+                writer.write(step, {f"val_{k}": v for k, v in val.items()})
             if checkpoint_manager is not None and step % checkpoint_every == 0:
                 checkpoint_manager.save(step, state)
             if step >= max_steps:

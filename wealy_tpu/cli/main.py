@@ -220,6 +220,37 @@ def cmd_train(args) -> int:
             step=jnp.asarray(restored["step"], jnp.int32),
         )
         print(f"resumed from checkpoint step {restored['step']}", file=sys.stderr)
+    # validation hook: MAP over the val split with the current head
+    # (deterministic first-window collate), every conf.train.eval_every steps
+    eval_fn = None
+    if sig == "single":
+        try:
+            val_ds = EmbeddingDataset(config, "val", seed=0)
+        except Exception:
+            val_ds = None
+        if val_ds is not None and len(val_ds) >= 4:
+            from wealy_tpu.data.chunking import collate_fixed_length
+            from wealy_tpu.eval.wealy import evaluate_song_embeddings
+
+            val_items = [
+                (val_ds.sampler.labels[val_ds.sampler.clique_of[v]],
+                 [(int(val_ds.metadata.info[v]["id"]), val_ds.load_embedding(v))])
+                for v in val_ds.sampler.versions
+            ]
+            vb = collate_fixed_length(
+                val_items, chunk_size=config.data.chunk_size, use_random_chunks=False
+            )
+            v_labels, v_ids, v_emb, v_mask = vb.flatten_versions()
+
+            def eval_fn(state):
+                z = np.asarray(
+                    jax.jit(lambda p, e, m: model.apply({"params": p}, e, m))(
+                        state.params, jnp.asarray(v_emb), jnp.asarray(v_mask)
+                    )
+                )
+                m = evaluate_song_embeddings(z, v_labels, version_ids=v_ids)
+                return {"MAP": m["MAP"], "MR1": m["MR1"]}
+
     writer = MetricsWriter(log_every=config.train.log_every)
     state, writer = fit(
         state,
@@ -233,6 +264,8 @@ def cmd_train(args) -> int:
         checkpoint_every=config.train.checkpoint_every,
         rng=np.random.default_rng(config.train.seed),
         make_batch=make_batch,
+        eval_fn=eval_fn,
+        eval_every=config.train.eval_every,
     )
     if ckpt is not None:
         ckpt.save(int(state.step), {"params": state.params, "step": int(state.step)})

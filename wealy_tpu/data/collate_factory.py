@@ -16,6 +16,11 @@ The model-name groups and their batch contracts:
 positions and re-pads to the batch max (collate_functions.py:475-567). WEALY
 chunk modes: train random / val first / test all (via
 ``wealy_test_mode_items`` returning per-song dicts, :54-88).
+
+``conf.data.use_avg_clews`` (collate_functions.py:421): multimodal batches
+here always carry BOTH ``full_clews`` and ``avg_clews`` (a superset of the
+reference's either/or); a model configured for averaged CLEWS simply consumes
+``batch["avg_clews"]`` — no separate collate variant is needed.
 """
 
 from __future__ import annotations

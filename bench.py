@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 
-def _tpu_throughput(batch: int = 64, iters: int = 30) -> float:
+def _tpu_throughput(batch: int = 128, iters: int = 20) -> float:
     import jax
     import jax.numpy as jnp
 

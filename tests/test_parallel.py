@@ -173,3 +173,157 @@ class TestStreamingRanks:
         assert m["n_queries"] == N
         assert m["MAP"] > 0.9  # strongly clustered fixture
         assert (n_rel == 3).all()
+
+
+class TestStreamingTieSemantics:
+    """VERDICT round 1 weak #5: tie handling must exactly match rank_metrics'
+    stable ascending sort — verified on fixtures WITH duplicated scores."""
+
+    def _dup_fixture(self, rng):
+        # 12 cliques x 4; several corpus rows are exact duplicates, including
+        # duplicates ACROSS cliques (equal-score irrelevant candidates).
+        labels = np.repeat(np.arange(12), 4)
+        z = rng.normal(size=(48, 8)).astype(np.float32)
+        z[5] = z[2]     # clique 1 dup of clique 0 row (irrelevant tie)
+        z[9] = z[8]     # within-clique duplicate (relevant-relevant tie)
+        z[30] = z[2]    # three-way duplicate across cliques
+        z[44] = z[45]   # within-clique duplicate
+        return labels, z
+
+    @pytest.mark.parametrize("mode", ["cos", "cossim", "sqeuc"])
+    def test_duplicated_scores_match_rank_metrics(self, rng, mode):
+        from wealy_tpu.eval.retrieval import rank_metrics
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        labels, z = self._dup_fixture(rng)
+        full = np.asarray(pairwise_distance_matrix(z, z, mode=mode))
+        # rank_metrics ranks by ascending distance; flip similarity modes
+        want = rank_metrics(-full if mode.endswith("sim") else full, labels, labels)
+        ranks, n_rel = streaming_relevant_ranks(
+            z, z, labels, labels, mode=mode, block_size=7
+        )
+        got = map_from_ranks(ranks, n_rel, topk=(10,))
+        assert got["n_queries"] == want["n_queries"]
+        np.testing.assert_allclose(got["MAP"], want["MAP"], rtol=1e-9)
+        np.testing.assert_allclose(got["MR1"], want["MR1"], rtol=1e-9)
+        np.testing.assert_allclose(got["P@10"], want["P@10"], rtol=1e-9)
+
+    def test_identical_embeddings_whole_clique(self, rng):
+        """Pathological all-tie case: every member of a clique identical."""
+        from wealy_tpu.eval.retrieval import rank_metrics
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        labels = np.repeat(np.arange(4), 5)
+        z = rng.normal(size=(20, 8)).astype(np.float32)
+        z[labels == 2] = z[10]  # clique 2: 5 identical rows
+        full = np.asarray(pairwise_distance_matrix(z, z, mode="cos"))
+        want = rank_metrics(full, labels, labels)
+        ranks, n_rel = streaming_relevant_ranks(
+            z, z, labels, labels, mode="cos", block_size=6
+        )
+        got = map_from_ranks(ranks, n_rel)
+        np.testing.assert_allclose(got["MAP"], want["MAP"], rtol=1e-9)
+        np.testing.assert_allclose(got["MR1"], want["MR1"], rtol=1e-9)
+
+
+class TestStreamingNoTruncation:
+    def test_default_covers_largest_clique(self, rng):
+        """max_relevant=None (default) must not truncate a 100-version clique
+        (VERDICT round 1: the silent 64 cap corrupted MAP on large cliques)."""
+        from wealy_tpu.eval.retrieval import rank_metrics
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        labels = np.concatenate([np.zeros(100, np.int64), np.repeat(np.arange(1, 6), 3)])
+        z = rng.normal(size=(115, 8)).astype(np.float32)
+        z[labels == 0] += 2.0 * rng.normal(size=(8,)).astype(np.float32)
+        ranks, n_rel = streaming_relevant_ranks(
+            z, z, labels, labels, mode="cos", block_size=32
+        )
+        assert ranks.shape[1] == 99  # largest relevant set, not a fixed cap
+        assert n_rel[labels == 0].max() == 99
+        full = np.asarray(pairwise_distance_matrix(z, z, mode="cos"))
+        want = rank_metrics(full, labels, labels)
+        got = map_from_ranks(ranks, n_rel)
+        np.testing.assert_allclose(got["MAP"], want["MAP"], rtol=1e-9)
+
+    def test_explicit_cap_logs_warning(self, rng, caplog):
+        import logging
+
+        from wealy_tpu.parallel.similarity import streaming_relevant_ranks
+
+        labels = np.repeat(np.arange(3), 6)
+        z = rng.normal(size=(18, 4)).astype(np.float32)
+        with caplog.at_level(logging.WARNING, logger="wealy_tpu.parallel.similarity"):
+            ranks, n_rel = streaming_relevant_ranks(
+                z, z, labels, labels, mode="cos", max_relevant=2
+            )
+        assert any("truncates" in r.message for r in caplog.records)
+        assert ranks.shape[1] == 2 and (n_rel == 2).all()
+
+
+class TestStreamingMesh:
+    def test_mesh_matches_host(self, mesh, rng):
+        """SURVEY §2.8 item 4: the streamed rank pass sharded over the mesh
+        equals the single-device result (ragged Q, ragged blocks)."""
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        labels = np.repeat(np.arange(13), 3)
+        z = rng.normal(size=(39, 16)).astype(np.float32)
+        r0, n0 = streaming_relevant_ranks(z, z, labels, labels, mode="cossim", block_size=10)
+        r1, n1 = streaming_relevant_ranks(
+            z, z, labels, labels, mesh=mesh, mode="cossim", block_size=10,
+            query_block=16,
+        )
+        np.testing.assert_array_equal(n0, n1)
+        np.testing.assert_array_equal(r0, r1)
+        m0, m1 = map_from_ranks(r0, n0), map_from_ranks(r1, n1)
+        assert m0 == m1
+
+
+@pytest.mark.slow
+class TestStreamingBoundedMemory:
+    def test_100k_corpus_bounded_rss(self, rng):
+        """VERDICT round 1 item 2 'done' criterion: a 100K-song corpus streams
+        within bounded RSS. The full (Q, N) matrix would be 40 GB; we assert
+        peak RSS growth stays under 2 GB (state is O(Q*R) ~ 2.4 MB; transient
+        device slabs (query_block, block_size) ~ 128 MB)."""
+        import resource
+
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        N, C = 100_000, 8
+        labels = np.repeat(np.arange(N // 4), 4)
+        z = rng.normal(size=(N, C)).astype(np.float32)
+        z += 2.5 * rng.normal(size=(N // 4, C)).astype(np.float32)[labels]
+
+        rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+        ranks, n_rel = streaming_relevant_ranks(
+            z, z, labels, labels, mode="cossim",
+            block_size=8192, query_block=16384,
+        )
+        rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        growth_gib = (rss_after - rss_before) / (1024 ** 2)
+        assert growth_gib < 2.0, f"RSS grew {growth_gib:.2f} GiB — not streaming"
+
+        assert ranks.shape == (N, 3)
+        assert (n_rel == 3).all()
+        m = map_from_ranks(ranks, n_rel)
+        assert m["n_queries"] == N
+        # 25K clusters in 8-D overlap heavily, so absolute MAP is modest —
+        # assert far above chance (3 relevant / 100K candidates => ~3e-5)
+        assert m["MAP"] > 0.05

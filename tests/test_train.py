@@ -45,6 +45,51 @@ class TestConfig:
         c2 = Config.from_json(p)
         assert c2.to_dict() == c.to_dict()
 
+    def test_yaml_with_interpolation(self, tmp_path):
+        """Reference-style OmegaConf YAML loads end-to-end, ${...} resolved
+        (metadata_loaders.py:8,29 contract — VERDICT round 1 item 6)."""
+        p = tmp_path / "conf.yaml"
+        p.write_text(
+            "path:\n"
+            "  working_dir: /data\n"
+            "  cache: ${path.working_dir}/cache\n"
+            "  meta: ${path.cache}/shs_meta.json\n"
+            "data:\n"
+            "  dataset_name: shs\n"
+            "  chunk_size: 500\n"
+            "model: {name: whisper-clews, zdim: 256}\n"
+        )
+        c = Config.from_yaml(p)
+        assert c.path.cache == "/data/cache"
+        assert c.path.meta == "/data/cache/shs_meta.json"  # chained interp
+        assert c.data.chunk_size == 500 and c.model.zdim == 256
+        assert Config.from_file(p).to_dict() == c.to_dict()
+
+    def test_yaml_whole_value_interpolation_keeps_type(self, tmp_path):
+        p = tmp_path / "c.yml"
+        p.write_text(
+            "data: {chunk_size: 250}\n"
+            "train: {warmup_steps: '${data.chunk_size}'}\n"
+        )
+        c = Config.from_yaml(p)
+        assert c.train.warmup_steps == 250  # int, not '250'
+
+    def test_yaml_interpolation_cycle_raises(self, tmp_path):
+        from wealy_tpu.train.config import resolve_interpolations
+
+        with pytest.raises(ValueError, match="cycle"):
+            resolve_interpolations({"a": "${b}", "b": "${a}"})
+
+    def test_select_dotted_access(self):
+        from wealy_tpu.train.config import select
+
+        c = Config.from_dict({"path": {"meta": "/m"}})
+        assert select(c, "path.meta") == "/m"
+        assert select(c, "path.nope", default="d") == "d"
+        assert select(c, "nope.deep.key", default=7) == 7
+        assert select({"a": {"b": 3}}, "a.b") == 3
+        assert select({"a": {"b": None}}, "a.b", default=1) == 1
+
 
 def _toy_md(n_cliques=4, n_versions=4):
     info, splits = {}, {"train": {}, "val": {}, "test": {}}

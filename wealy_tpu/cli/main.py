@@ -10,7 +10,7 @@ import sys
 def _load_config(path: str):
     from wealy_tpu.train.config import Config
 
-    return Config.from_json(path)
+    return Config.from_file(path)  # YAML (OmegaConf-style) or JSON
 
 
 def cmd_validate_data(args) -> int:

@@ -7,22 +7,26 @@ slab, candidates are replicated (or streamed in column blocks for very large
 corpora), and each chip computes ``q_slab @ cᵀ`` on its MXU — the only
 all-to-all pattern the capability set needs (SURVEY.md §2.8 item 4).
 
-``sharded_topk`` never materializes the full matrix on one device: each chip
-reduces its row slab to (k) candidates locally; ranks/metrics are computed on
-the host from the k-sized result.
+``streaming_relevant_ranks`` / ``sharded_topk`` never materialize the full
+(Q, N) matrix anywhere: per corpus block only a transient (q_block, block)
+slab exists on device; persistent state is O(Q · max_relevant).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+import logging
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh
 
 from wealy_tpu.ops.distance import pairwise_distance_matrix
 from wealy_tpu.parallel.mesh import data_sharding, replicated
+
+logger = logging.getLogger(__name__)
 
 
 def _pad_rows(x, multiple: int):
@@ -86,6 +90,69 @@ def sharded_pairwise_distance(
     return d[:q_real]
 
 
+def relevant_columns(
+    query_labels,
+    corpus_labels,
+    query_idx=None,
+    corpus_idx=None,
+    max_relevant: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized relevant-candidate discovery (no Python loop over queries).
+
+    For each query: corpus positions with the same label, self (same idx)
+    excluded, in ascending corpus order. Returns (rel_cols (Q, R) int64 with
+    -1 padding, n_rel (Q,) int32). R = max clique size unless ``max_relevant``
+    caps it — in which case the truncation is **logged**, never silent
+    (VERDICT round 1: silent max_relevant=64 truncation corrupted MAP on
+    large cliques).
+    """
+    query_labels = np.asarray(query_labels)
+    corpus_labels = np.asarray(corpus_labels)
+    Q = query_labels.shape[0]
+    N = corpus_labels.shape[0]
+    if query_idx is None:
+        query_idx = np.arange(Q)
+    if corpus_idx is None:
+        corpus_idx = np.arange(N)
+    query_idx = np.asarray(query_idx)
+    corpus_idx = np.asarray(corpus_idx)
+
+    order = np.argsort(corpus_labels, kind="stable")
+    sorted_labels = corpus_labels[order]
+    lo = np.searchsorted(sorted_labels, query_labels, side="left")
+    hi = np.searchsorted(sorted_labels, query_labels, side="right")
+    counts = hi - lo  # same-label candidates incl. self
+    r_full = max(int(counts.max()) if Q else 0, 1)
+
+    slot = np.arange(r_full)
+    pos = lo[:, None] + slot[None, :]
+    valid = slot[None, :] < counts[:, None]
+    cols = order[np.minimum(pos, N - 1)]
+    # stable argsort within equal labels preserves corpus order -> cols ascend
+    self_hit = valid & (corpus_idx[cols] == query_idx[:, None])
+    valid &= ~self_hit
+    # compact: stable sort moves invalid slots to the row end, keeps order
+    perm = np.argsort(~valid, axis=1, kind="stable")
+    cols = np.take_along_axis(np.where(valid, cols, -1), perm, axis=1)
+    n_rel = valid.sum(axis=1).astype(np.int32)
+    r_max = max(int(n_rel.max()) if Q else 0, 1)
+    cols = cols[:, :r_max]
+
+    if max_relevant is not None and r_max > max_relevant:
+        n_trunc = int((n_rel > max_relevant).sum())
+        logger.warning(
+            "relevant_columns: max_relevant=%d truncates %d/%d queries "
+            "(largest relevant set: %d) — MAP will undercount those cliques",
+            max_relevant,
+            n_trunc,
+            Q,
+            r_max,
+        )
+        cols = cols[:, :max_relevant]
+        n_rel = np.minimum(n_rel, max_relevant).astype(np.int32)
+    return cols.astype(np.int64), n_rel
+
+
 def streaming_relevant_ranks(
     queries,
     corpus,
@@ -94,28 +161,39 @@ def streaming_relevant_ranks(
     mesh: Optional[Mesh] = None,
     mode: str = "cossim",
     block_size: int = 4096,
+    query_block: int = 8192,
     query_idx=None,
     corpus_idx=None,
-    max_relevant: int = 64,
+    max_relevant: Optional[int] = None,
 ):
-    """Ranks of every relevant candidate per query WITHOUT materializing the
-    (Q, N) matrix — the corpus-scale MAP/MR1 path (SURVEY.md §7: "distributed
-    top-k/rank computation without materializing the full matrix").
+    """Exact ranks of every relevant candidate per query WITHOUT materializing
+    the (Q, N) matrix — the corpus-scale MAP/MR1 path (SURVEY.md §7:
+    "distributed top-k/rank computation without materializing the full
+    matrix").
 
-    Two streamed passes over corpus column blocks:
-      1. gather each query's relevant-candidate scores (padded to
-         ``max_relevant`` slots);
-      2. for each block, count candidates scoring strictly better than each
-         relevant score (ties broken toward better rank, matching a stable
-         ascending-distance sort).
+    Streaming structure: queries are processed in ``query_block`` row slabs;
+    per slab the corpus is streamed twice in ``block_size`` column blocks —
+    pass 1 gathers each relevant pair's score, pass 2 counts candidates
+    ranked ahead of it. Each block's (q_block, block_size) slab is computed
+    on device, consumed, and discarded; persistent state is O(Q · R).
+    Recomputing blocks (same jitted fn, same inputs) makes the two passes
+    bit-consistent, so tie comparisons are exact.
 
-    Returns (ranks (Q, max_relevant) int32 — 1-based, 0 = empty slot,
-    n_relevant (Q,)). Feed to :func:`map_from_ranks`.
+    Tie semantics match :func:`wealy_tpu.eval.retrieval.rank_metrics`
+    exactly: rank = 1 + #(strictly better) + #(equal score at an earlier
+    corpus position), i.e. a stable ascending-distance (descending-similarity)
+    sort with self excluded. Verified against a duplicated-score fixture in
+    tests/test_parallel.py.
+
+    ``max_relevant=None`` (default) sizes R to the largest relevant set —
+    no truncation. Passing a cap logs any truncation (see
+    :func:`relevant_columns`).
+
+    Returns (ranks (Q, R) int32 — 1-based, 0 = empty slot, n_rel (Q,)).
+    Feed to :func:`map_from_ranks`.
     """
-    import numpy as np
-
-    queries = jnp.asarray(queries)
-    corpus = jnp.asarray(corpus)
+    corpus = np.asarray(corpus)
+    queries = np.asarray(queries)
     query_labels = np.asarray(query_labels)
     corpus_labels = np.asarray(corpus_labels)
     Q = queries.shape[0]
@@ -124,83 +202,158 @@ def streaming_relevant_ranks(
         query_idx = np.arange(Q)
     if corpus_idx is None:
         corpus_idx = np.arange(N)
+    query_idx = np.asarray(query_idx, np.int64)
+    corpus_idx = np.asarray(corpus_idx, np.int64)
     sim_mode = mode.endswith("sim")  # larger = better
 
-    # pass 1 (host): relevant slots per query
-    rel_cols = np.full((Q, max_relevant), -1, np.int64)
-    n_rel = np.zeros((Q,), np.int32)
-    for q in range(Q):
-        cols = np.flatnonzero(
-            (corpus_labels == query_labels[q]) & (corpus_idx != query_idx[q])
-        )[:max_relevant]
-        rel_cols[q, : len(cols)] = cols
-        n_rel[q] = len(cols)
+    rel_cols, n_rel = relevant_columns(
+        query_labels, corpus_labels, query_idx, corpus_idx, max_relevant
+    )
+    R = rel_cols.shape[1]
+    block_size = min(block_size, max(N, 1))
+    query_block = min(query_block, max(Q, 1))
 
-    # pass 1 (device): scores of the relevant pairs, one block at a time
-    def block_scores(block):
-        return pairwise_distance_matrix(queries, block, mode=mode)
+    # Pad query slabs to one static shape (and to the mesh's data axis).
+    qb = query_block
+    if mesh is not None:
+        n_dev = mesh.shape["data"]
+        qb = -(-qb // n_dev) * n_dev
+    n_q_slabs = -(-Q // qb)
 
-    rel_scores = np.zeros((Q, max_relevant), np.float64)
-    better = np.zeros((Q, max_relevant), np.int64)
+    # Pad corpus to whole blocks once; per-block validity handled by n_valid.
+    n_blocks = -(-N // block_size)
+    b = block_size
 
-    blocks = [
-        (start, np.asarray(block_scores(corpus[start : start + block_size])))
-        for start in range(0, N, block_size)
-    ]
-    for start, d in blocks:
-        end = start + d.shape[1]
-        in_range = (rel_cols >= start) & (rel_cols < end)
-        qi, si = np.nonzero(in_range)
-        rel_scores[qi, si] = d[qi, rel_cols[qi, si] - start]
+    q_shard = data_sharding(mesh, 2) if mesh is not None else None
+    q_shard1 = data_sharding(mesh, 1) if mesh is not None else None
+    repl = replicated(mesh) if mesh is not None else None
 
-    # pass 2: count strictly-better candidates (self excluded)
-    for start, d in blocks:
-        end = start + d.shape[1]
-        valid = (corpus_idx[start:end][None, :] != query_idx[:, None])  # (Q, b)
-        for s in range(max_relevant):
-            active = rel_cols[:, s] >= 0
-            if not active.any():
-                break
-            ref = rel_scores[:, s][:, None]
+    def _jit(fn, in_shardings=None, out_shardings=None):
+        if mesh is None:
+            return jax.jit(fn)
+        return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings)
+
+    @functools.partial(
+        _jit,
+        in_shardings=(q_shard, repl, q_shard, q_shard, None, None),
+        out_shardings=q_shard,
+    )
+    def _gather_step(q, yblk, rel_scores, cols, start, n_valid):
+        d = pairwise_distance_matrix(q, yblk, mode=mode)  # (qb, b)
+        local = cols - start
+        in_blk = (local >= 0) & (local < n_valid) & (cols >= 0)
+        g = jnp.take_along_axis(d, jnp.clip(local, 0, b - 1).astype(jnp.int32), axis=1)
+        return jnp.where(in_blk, g, rel_scores)
+
+    @functools.partial(
+        _jit,
+        in_shardings=(q_shard, repl, q_shard, q_shard, q_shard, q_shard1, repl, None, None),
+        out_shardings=q_shard,
+    )
+    def _count_step(q, yblk, better, rel_scores, cols, qidx, cidx_blk, start, n_valid):
+        d = pairwise_distance_matrix(q, yblk, mode=mode)  # (qb, b)
+        colpos = start + jnp.arange(b, dtype=jnp.int32)
+        col_ok = (jnp.arange(b) < n_valid)[None, :] & (
+            cidx_blk[None, :] != qidx[:, None]
+        )  # (qb, b): padded cols + self excluded
+
+        def one_slot(args):
+            ref, rc = args  # (qb,), (qb,)
             if sim_mode:
-                b = (d > ref) & valid
+                ahead = d > ref[:, None]
             else:
-                b = (d < ref) & valid
-            better[:, s] += np.where(active, b.sum(axis=1), 0)
+                ahead = d < ref[:, None]
+            tie = (d == ref[:, None]) & (colpos[None, :] < rc[:, None])
+            return ((ahead | tie) & col_ok).sum(axis=1).astype(jnp.int32)
 
-    ranks = np.where(rel_cols >= 0, better + 1, 0).astype(np.int32)
-    return ranks, n_rel
+        # lax.map over relevant slots: transient memory stays (qb, b)
+        inc = jax.lax.map(one_slot, (rel_scores.T, cols.T))  # (R, qb)
+        return better + inc.T
+
+    ranks_out = np.zeros((Q, R), np.int32)
+    for s0 in range(0, n_q_slabs * qb, qb):
+        s1 = min(s0 + qb, Q)
+        q_slab = np.zeros((qb, queries.shape[1]), queries.dtype)
+        q_slab[: s1 - s0] = queries[s0:s1]
+        cols_slab = np.full((qb, R), -1, np.int32)
+        cols_slab[: s1 - s0] = rel_cols[s0:s1]
+        qidx_slab = np.full((qb,), -1, np.int32)  # -1 never matches a real idx
+        qidx_slab[: s1 - s0] = query_idx[s0:s1]
+
+        q_dev = jnp.asarray(q_slab)
+        cols_dev = jnp.asarray(cols_slab)
+        qidx_dev = jnp.asarray(qidx_slab)
+        if mesh is not None:
+            q_dev = jax.device_put(q_dev, q_shard)
+            cols_dev = jax.device_put(cols_dev, q_shard)
+            qidx_dev = jax.device_put(qidx_dev, data_sharding(mesh, 1))
+
+        def blocks():
+            for start in range(0, n_blocks * b, b):
+                end = min(start + b, N)
+                yblk = np.zeros((b, corpus.shape[1]), corpus.dtype)
+                yblk[: end - start] = corpus[start:end]
+                cidx = np.full((b,), -1, np.int32)
+                cidx[: end - start] = corpus_idx[start:end]
+                yield start, end - start, jnp.asarray(yblk), jnp.asarray(cidx)
+
+        rel_scores = jnp.zeros((qb, R), jnp.float32)
+        if mesh is not None:
+            rel_scores = jax.device_put(rel_scores, q_shard)
+        for start, n_valid, yblk, _ in blocks():
+            rel_scores = _gather_step(
+                q_dev, yblk, rel_scores, cols_dev, start, n_valid
+            )
+
+        better = jnp.zeros((qb, R), jnp.int32)
+        if mesh is not None:
+            better = jax.device_put(better, q_shard)
+        for start, n_valid, yblk, cidx in blocks():
+            better = _count_step(
+                q_dev, yblk, better, rel_scores, cols_dev, qidx_dev, cidx,
+                start, n_valid,
+            )
+
+        slab_ranks = np.asarray(better)[: s1 - s0]
+        ranks_out[s0:s1] = np.where(cols_slab[: s1 - s0] >= 0, slab_ranks + 1, 0)
+
+    return ranks_out, n_rel
 
 
-def map_from_ranks(ranks, n_rel):
-    """MAP / MR1 from per-query relevant-candidate ranks (1-based, 0=empty).
+def map_from_ranks(ranks, n_rel, topk: Tuple[int, ...] = ()):
+    """MAP / MR1 (and optional P@k) from per-query relevant-candidate ranks
+    (1-based exact stable-sort positions, 0 = empty slot).
 
-    Matches rank_metrics' definitions: AP over relevant items in rank order;
-    MR1 = rank of the best relevant item; queries without relevants skipped.
+    Exactly matches :func:`wealy_tpu.eval.retrieval.rank_metrics`: ranks from
+    :func:`streaming_relevant_ranks` are exact positions in the stable
+    ascending sort (ties resolved by corpus position), so AP is simply
+    mean_i((i+1) / sorted_rank_i) and MR1 the smallest rank. Queries without
+    relevant candidates are skipped.
     """
-    import numpy as np
-
     ranks = np.asarray(ranks)
     n_rel = np.asarray(n_rel)
-    aps, mr1 = [], []
-    for q in range(ranks.shape[0]):
-        r = np.sort(ranks[q, : n_rel[q]])
-        if len(r) == 0:
-            continue
-        # i-th relevant (1-based among relevants) at overall rank r[i]; among
-        # non-self candidates its precision contribution is (i+1)/r[i] —
-        # but r counts only strictly-better items + 1, so co-relevant items
-        # ranked ahead must be added: rank among all = r[i] + (# relevants
-        # with strictly better score) which the sort already reflects via
-        # counting; adjust by position to break rel-rel ties consistently.
-        adj = np.maximum(r, np.arange(1, len(r) + 1))
-        aps.append(float(np.mean(np.arange(1, len(r) + 1) / adj)))
-        mr1.append(int(r[0]))
-    return {
-        "MAP": float(np.mean(aps)) if aps else 0.0,
-        "MR1": float(np.mean(mr1)) if mr1 else 0.0,
-        "n_queries": len(aps),
+    Q, R = ranks.shape
+    slot = np.arange(R)
+    valid = slot[None, :] < n_rel[:, None]
+    has_rel = n_rel > 0
+
+    r = np.where(valid, ranks.astype(np.float64), np.inf)
+    r = np.sort(r, axis=1)
+    i = np.arange(1, R + 1, dtype=np.float64)[None, :]
+    # after the sort, the first n_rel slots per row are the real ranks
+    prec = np.where(valid, i / r, 0.0)
+    aps = prec.sum(axis=1) / np.maximum(n_rel, 1)
+    mr1 = np.where(has_rel, r[:, 0], 0)
+
+    out = {
+        "MAP": float(aps[has_rel].mean()) if has_rel.any() else 0.0,
+        "MR1": float(mr1[has_rel].mean()) if has_rel.any() else 0.0,
+        "n_queries": int(has_rel.sum()),
     }
+    for k in topk:
+        hits = ((ranks <= k) & (ranks > 0) & valid).sum(axis=1)
+        out[f"P@{k}"] = float((hits[has_rel] / k).mean()) if has_rel.any() else 0.0
+    return out
 
 
 def sharded_topk(

@@ -1,18 +1,85 @@
 """Config dataclasses covering the reference's implied OmegaConf schema.
 
 Every key reconstructed from the reference's access sites (SURVEY.md §5.6) has
-a field here; ``Config.from_dict`` accepts a nested dict (or an OmegaConf
-DictConfig converted via ``OmegaConf.to_container``) with the same key paths
-(conf.path.*, conf.data.*, conf.model.*), so reference-style YAML configs load
-unchanged.
+a field here. The reference threads an OmegaConf DictConfig through every
+Phase-B class (lib/embedding_dataset/metadata_loaders.py:8, OmegaConf.select
+at :29, :272); this module accepts the same configs natively:
+
+- ``Config.from_yaml`` loads a reference-style YAML file, resolving
+  OmegaConf ``${dotted.path}`` interpolations;
+- ``Config.from_file`` dispatches on extension (.yaml/.yml/.json);
+- :func:`select` mirrors ``OmegaConf.select(conf, "path.meta")`` — dotted
+  access with a default — over both Config objects and nested dicts.
+
+No omegaconf dependency: the subset the reference exercises (nested keys,
+select, string interpolation) is implemented over pyyaml.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
+import re
 from pathlib import Path
-from typing import Optional
+from typing import Any, Optional
+
+_INTERP = re.compile(r"\$\{([A-Za-z0-9_.]+)\}")
+
+
+def _lookup(root: dict, dotted: str):
+    cur: Any = root
+    for part in dotted.split("."):
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            raise KeyError(dotted)
+    return cur
+
+
+def resolve_interpolations(d: dict) -> dict:
+    """Resolve OmegaConf-style ``${a.b.c}`` string interpolations in a nested
+    dict (the one OmegaConf feature YAML configs commonly rely on). A string
+    that is exactly one interpolation keeps the referenced value's type;
+    embedded interpolations substitute as text. Cycles raise ValueError."""
+
+    def resolve(value, stack: tuple):
+        if isinstance(value, dict):
+            return {k: resolve(v, stack) for k, v in value.items()}
+        if isinstance(value, list):
+            return [resolve(v, stack) for v in value]
+        if isinstance(value, str):
+            m = _INTERP.fullmatch(value)
+            if m:
+                return resolve_path(m.group(1), stack)
+            return _INTERP.sub(
+                lambda mm: str(resolve_path(mm.group(1), stack)), value
+            )
+        return value
+
+    def resolve_path(dotted: str, stack: tuple):
+        if dotted in stack:
+            raise ValueError(f"interpolation cycle through ${{{dotted}}}")
+        return resolve(_lookup(d, dotted), stack + (dotted,))
+
+    return resolve(d, ())
+
+
+def select(conf, dotted: str, default=None):
+    """``OmegaConf.select``-compatible dotted access over Config dataclasses
+    or nested dicts (reference usage: metadata_loaders.py:29, :272)."""
+    cur = conf
+    for part in dotted.split("."):
+        if isinstance(cur, dict):
+            if part not in cur:
+                return default
+            cur = cur[part]
+        elif dataclasses.is_dataclass(cur) and not isinstance(cur, type):
+            if not hasattr(cur, part):
+                return default
+            cur = getattr(cur, part)
+        else:
+            return default
+    return default if cur is None else cur
 
 
 @dataclasses.dataclass
@@ -93,6 +160,25 @@ class Config:
     @classmethod
     def from_json(cls, path: str | Path) -> "Config":
         return cls.from_dict(json.loads(Path(path).read_text()))
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "Config":
+        """Load a reference-style OmegaConf YAML config (SURVEY.md §5.6),
+        resolving ``${...}`` interpolations."""
+        import yaml
+
+        raw = yaml.safe_load(Path(path).read_text()) or {}
+        if not isinstance(raw, dict):
+            raise ValueError(f"{path}: top level must be a mapping")
+        return cls.from_dict(resolve_interpolations(raw))
+
+    @classmethod
+    def from_file(cls, path: str | Path) -> "Config":
+        """Dispatch on extension: .yaml/.yml -> YAML, anything else JSON."""
+        suffix = Path(path).suffix.lower()
+        if suffix in (".yaml", ".yml"):
+            return cls.from_yaml(path)
+        return cls.from_json(path)
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

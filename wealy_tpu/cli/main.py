@@ -275,12 +275,17 @@ def cmd_train(args) -> int:
 
 
 def cmd_evaluate(args) -> int:
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from wealy_tpu.data.chunking import collate_overlapping
     from wealy_tpu.data.dataset import EmbeddingDataset
-    from wealy_tpu.eval.retrieval import evaluate_retrieval, regroup_chunks
+    from wealy_tpu.eval.retrieval import (
+        evaluate_retrieval,
+        regroup_chunks,
+        slabbed_apply,
+    )
     from wealy_tpu.models.registry import build_model
     from wealy_tpu.train.checkpoint import CheckpointManager
 
@@ -289,19 +294,9 @@ def cmd_evaluate(args) -> int:
     if sig != "single":
         return _evaluate_multimodal(args, config, model, sig)
     ds = EmbeddingDataset(config, args.split, seed=0)
-
-    # one item per version: (label, [(id, emb)])
-    items = [
-        (ds.sampler.labels[ds.sampler.clique_of[v]], [(int(ds.metadata.info[v]["id"]), ds.load_embedding(v))])
-        for v in ds.sampler.versions
-    ]
-    batch = collate_overlapping(
-        items,
-        chunk_size=config.data.chunk_size,
-        overlap=config.data.overlap_percentage,
-    )
-
-    import jax
+    versions = list(ds.sampler.versions)
+    emb_dim = ds.load_embedding(versions[0]).shape[-1]
+    L = config.data.chunk_size
 
     params = None
     if args.checkpoint or config.path.checkpoints:
@@ -311,32 +306,67 @@ def cmd_evaluate(args) -> int:
     if params is None:
         params = model.init(
             jax.random.PRNGKey(0),
-            jnp.zeros((1, config.data.chunk_size, batch.embeddings.shape[-1])),
-            jnp.ones((1, config.data.chunk_size), bool),
+            jnp.zeros((1, L, emb_dim)),
+            jnp.ones((1, L), bool),
         )["params"]
 
+    # one jit for (slab, L, C); songs stream through in groups so host memory
+    # holds one group's overlapping-chunk tensor at a time, never the corpus
     embed = jax.jit(lambda e, m: model.apply({"params": params}, e, m))
-    z = np.asarray(embed(jnp.asarray(batch.embeddings), jnp.asarray(batch.masks)))
+    song_group = max(1, args.song_group)
 
-    sets, set_mask, batch_idx, _ = regroup_chunks(z, batch.chunk_info, batch.chunk_valid)
-    labels = np.array([items[i][0] for i in batch_idx])
-    ids = np.array([items[i][1][0][0] for i in batch_idx])
+    song_vecs, all_sets, all_masks, labels, ids = [], [], [], [], []
+    for g0 in range(0, len(versions), song_group):
+        group = versions[g0 : g0 + song_group]
+        items = [
+            (ds.sampler.labels[ds.sampler.clique_of[v]],
+             [(int(ds.metadata.info[v]["id"]), ds.load_embedding(v))])
+            for v in group
+        ]
+        batch = collate_overlapping(
+            items, chunk_size=L, overlap=config.data.overlap_percentage
+        )
+        z = slabbed_apply(
+            embed, batch.embeddings, batch.masks, slab_size=args.encode_slab
+        )
+        sets, set_mask, bidx, _ = regroup_chunks(z, batch.chunk_info, batch.chunk_valid)
+        labels.extend(items[i][0] for i in bidx)
+        ids.extend(items[i][1][0][0] for i in bidx)
+        if args.streaming:
+            # pool each song's chunk set immediately: O(S, C) state only
+            w = set_mask[..., None].astype(np.float32)
+            song_vecs.append((sets * w).sum(axis=1) / np.maximum(w.sum(axis=1), 1e-9))
+        else:
+            all_sets.append(sets)
+            all_masks.append(set_mask)
+
+    labels = np.asarray(labels)
+    ids = np.asarray(ids)
     if args.streaming:
-        # corpus-scale path: mean-pool chunk sets to one vector per song and
-        # stream column blocks (never materializes the full matrix)
+        # corpus-scale path: column-block streaming over pooled song vectors
+        # (never materializes the (S, S) matrix)
         from wealy_tpu.parallel.similarity import (
             map_from_ranks,
             streaming_relevant_ranks,
         )
 
-        w = set_mask[..., None].astype(np.float32)
-        song_vecs = (sets * w).sum(axis=1) / np.maximum(w.sum(axis=1), 1e-9)
+        vecs = np.concatenate(song_vecs, axis=0)
         ranks, n_rel = streaming_relevant_ranks(
-            song_vecs, song_vecs, labels, labels,
+            vecs, vecs, labels, labels,
             mode="cos", query_idx=ids, corpus_idx=ids,
         )
-        metrics = map_from_ranks(ranks, n_rel)
+        metrics = map_from_ranks(ranks, n_rel, topk=(10,))
     else:
+        # chunk-set redux scoring: pad groups to the global max chunk count
+        max_chunks = max(s.shape[1] for s in all_sets)
+        C = all_sets[0].shape[-1]
+        sets = np.zeros((len(labels), max_chunks, C), np.float32)
+        set_mask = np.zeros((len(labels), max_chunks), bool)
+        row = 0
+        for s, m in zip(all_sets, all_masks):
+            sets[row : row + s.shape[0], : s.shape[1]] = s
+            set_mask[row : row + s.shape[0], : s.shape[1]] = m
+            row += s.shape[0]
         metrics = evaluate_retrieval(
             sets, set_mask, labels, version_ids=ids, redux=args.redux
         )
@@ -448,6 +478,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--streaming",
         action="store_true",
         help="corpus-scale ranks via column-block streaming (no full NxN matrix)",
+    )
+    ev.add_argument(
+        "--song-group", type=int, default=64,
+        help="songs collated+encoded per group (bounds host chunk memory)",
+    )
+    ev.add_argument(
+        "--encode-slab", type=int, default=256,
+        help="chunks per encoder jit call (fixed shape, one compile)",
     )
     ev.set_defaults(fn=cmd_evaluate)
     return p

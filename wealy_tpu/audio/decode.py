@@ -88,8 +88,25 @@ def load_audio(path: str | Path, sr: int = SAMPLE_RATE) -> np.ndarray:
 
             x = np.asarray(resample(x, file_sr, sr))
         return x
+    if path.lower().endswith(".mp3"):
+        # native libmpg123 decode (the datasets' universal container —
+        # metadata_loaders.py:203-213 — without the reference's ffmpeg
+        # dependency, dataset.py:652-654)
+        try:
+            from wealy_tpu import native
+
+            if native.mp3_available():
+                x, file_sr = native.decode_mp3_bytes(Path(path).read_bytes())
+                if file_sr != sr:
+                    from wealy_tpu.audio.resample import resample
+
+                    x = np.asarray(resample(x, file_sr, sr))
+                return x
+        except (ValueError, RuntimeError):
+            pass  # fall through to ffmpeg if present
     if shutil.which("ffmpeg") is None:
         raise RuntimeError(
-            f"cannot decode {path!r}: not a WAV file and no ffmpeg binary available"
+            f"cannot decode {path!r}: unsupported without native mp3 support "
+            "or an ffmpeg binary"
         )
     return _decode_ffmpeg(path, sr)

@@ -66,6 +66,16 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
             f32p, ctypes.c_uint64, ctypes.c_uint64, f32p, ctypes.c_uint64,
         ]
         lib.pack_chunks.restype = ctypes.c_int
+        lib.mp3_available.argtypes = []
+        lib.mp3_available.restype = ctypes.c_int
+        lib.mp3_decode_alloc.argtypes = [
+            u8p, ctypes.c_uint64,
+            ctypes.POINTER(f32p),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.mp3_decode_alloc.restype = ctypes.c_int
+        lib.wealy_free.argtypes = [ctypes.c_void_p]
+        lib.wealy_free.restype = None
         _lib = lib
         return lib
     except (subprocess.CalledProcessError, OSError) as e:
@@ -98,6 +108,38 @@ def decode_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     rc = lib.wav_decode(ptr, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if rc != 0:
         raise ValueError(f"wav_decode failed (code {rc})")
+    return out, int(sr.value)
+
+
+def mp3_available() -> bool:
+    """True when libmpg123 is loadable (the native mp3 decode path)."""
+    lib = _ensure_built()
+    return lib is not None and bool(lib.mp3_available())
+
+
+def decode_mp3_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+    """MP3 bytes -> (float32 mono waveform, sample_rate), via the native
+    libmpg123 path (wealy_host.cpp::mp3_decode_alloc). Raises RuntimeError
+    when the native library or libmpg123 is unavailable, ValueError on
+    malformed input."""
+    lib = _ensure_built()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    ptr, keepalive = _u8(data)
+    out_p = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_uint64()
+    sr = ctypes.c_uint32()
+    rc = lib.mp3_decode_alloc(
+        ptr, len(data), ctypes.byref(out_p), ctypes.byref(n), ctypes.byref(sr)
+    )
+    if rc == 1:
+        raise RuntimeError("libmpg123 not available for mp3 decode")
+    if rc != 0:
+        raise ValueError(f"mp3_decode_alloc failed (code {rc})")
+    try:
+        out = np.ctypeslib.as_array(out_p, shape=(n.value,)).copy()
+    finally:
+        lib.wealy_free(out_p)
     return out, int(sr.value)
 
 

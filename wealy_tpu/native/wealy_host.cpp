@@ -1,16 +1,24 @@
-// Native host data plane: WAV decode + polyphase resampling.
+// Native host data plane: WAV + MP3 decode, polyphase resampling.
 //
 // The TPU compute path is JAX/XLA/Pallas; this library owns the hot host-side
 // work of the extraction pipeline (audio decode feeding the device input
 // queue). Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 //
-// Build: g++ -O3 -march=native -shared -fPIC wealy_host.cpp -o libwealy_host.so
+// MP3 decode wraps the system libmpg123 through dlopen (every dataset's
+// filename convention is .mp3 — lib/embedding_dataset/metadata_loaders.py:
+// 203-213 — and the reference leans on ffmpeg via whisper.load_audio,
+// lib/audio_dataset/dataset.py:652-654; this environment has no ffmpeg
+// binary, so the data plane decodes natively). dlopen keeps the build free
+// of mpg123 headers/link deps and degrades gracefully when absent.
+//
+// Build: g++ -O3 -march=native -shared -fPIC wealy_host.cpp -ldl -o libwealy_host.so
 
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
 #include <cmath>
 #include <algorithm>
+#include <dlfcn.h>
 
 extern "C" {
 
@@ -123,6 +131,147 @@ int wav_decode(const uint8_t* data, uint64_t len, float* out) {
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// MP3 decode (libmpg123 via dlopen)
+// ---------------------------------------------------------------------------
+// Feed-API decode of a whole in-memory MP3 to mono float32. The library is
+// loaded lazily; if it is unavailable, mp3_available() returns 0 and callers
+// fall back (the Python side raises a clear error / tries ffmpeg).
+
+namespace {
+
+typedef struct mpg123_handle_struct mpg123_handle;
+
+// minimal public-ABI surface (values from the stable mpg123 API)
+constexpr int kMpgOK = 0;
+constexpr int kMpgNeedMore = -10;
+constexpr int kMpgNewFormat = -11;
+constexpr int kMpgDone = -12;
+constexpr int kEncFloat32 = 0x200;     // MPG123_ENC_FLOAT_32
+constexpr int kMonoOrStereo = 0x3;     // MPG123_MONO | MPG123_STEREO
+
+struct Mpg123Api {
+  int (*init)(void);
+  mpg123_handle* (*make)(const char*, int*);
+  void (*destroy)(mpg123_handle*);
+  int (*open_feed)(mpg123_handle*);
+  int (*feed)(mpg123_handle*, const unsigned char*, size_t);
+  int (*decode_frame)(mpg123_handle*, int64_t*, unsigned char**, size_t*);
+  int (*getformat)(mpg123_handle*, long*, int*, int*);
+  int (*format_none)(mpg123_handle*);
+  int (*format)(mpg123_handle*, long, int, int);
+  bool ok = false;
+};
+
+const Mpg123Api& mpg123_api() {
+  static Mpg123Api api = [] {
+    Mpg123Api a{};
+    void* so = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!so) so = dlopen("libmpg123.so", RTLD_NOW | RTLD_LOCAL);
+    if (!so) return a;
+    a.init = (int (*)(void))dlsym(so, "mpg123_init");
+    a.make = (mpg123_handle * (*)(const char*, int*)) dlsym(so, "mpg123_new");
+    a.destroy = (void (*)(mpg123_handle*))dlsym(so, "mpg123_delete");
+    a.open_feed = (int (*)(mpg123_handle*))dlsym(so, "mpg123_open_feed");
+    a.feed = (int (*)(mpg123_handle*, const unsigned char*, size_t))dlsym(so, "mpg123_feed");
+    // _64 variant pins the frame-offset out-param to int64 regardless of the
+    // library's off_t build configuration
+    a.decode_frame = (int (*)(mpg123_handle*, int64_t*, unsigned char**, size_t*))
+        dlsym(so, "mpg123_decode_frame_64");
+    if (!a.decode_frame)
+      a.decode_frame = (int (*)(mpg123_handle*, int64_t*, unsigned char**, size_t*))
+          dlsym(so, "mpg123_decode_frame");
+    a.getformat = (int (*)(mpg123_handle*, long*, int*, int*))dlsym(so, "mpg123_getformat");
+    a.format_none = (int (*)(mpg123_handle*))dlsym(so, "mpg123_format_none");
+    a.format = (int (*)(mpg123_handle*, long, int, int))dlsym(so, "mpg123_format");
+    a.ok = a.init && a.make && a.destroy && a.open_feed && a.feed &&
+           a.decode_frame && a.getformat && a.format_none && a.format;
+    if (a.ok && a.init() != kMpgOK) a.ok = false;
+    return a;
+  }();
+  return api;
+}
+
+}  // namespace
+
+int mp3_available() { return mpg123_api().ok ? 1 : 0; }
+
+// Decode an MP3 buffer to mono float32. On success (*out, *n_samples,
+// *sample_rate) are set; the buffer is malloc'd — release with wealy_free.
+// Error codes: 1=mpg123 unavailable, 2=handle/feed error, 3=decode error,
+// 4=no audio frames.
+int mp3_decode_alloc(const uint8_t* data, uint64_t len, float** out,
+                     uint64_t* n_samples, uint32_t* sample_rate) {
+  const Mpg123Api& api = mpg123_api();
+  if (!api.ok) return 1;
+  int err = 0;
+  mpg123_handle* h = api.make(nullptr, &err);
+  if (!h) return 2;
+  // accept float32 output at every MPEG rate, mono or stereo
+  static const long kRates[] = {8000,  11025, 12000, 16000, 22050,
+                                24000, 32000, 44100, 48000};
+  api.format_none(h);
+  for (long r : kRates) api.format(h, r, kMonoOrStereo, kEncFloat32);
+  if (api.open_feed(h) != kMpgOK || api.feed(h, data, (size_t)len) != kMpgOK) {
+    api.destroy(h);
+    return 2;
+  }
+
+  uint64_t cap = 1 << 20, n = 0;
+  float* buf = (float*)malloc(cap * sizeof(float));
+  long rate = 0;
+  int channels = 1, encoding = 0;
+
+  for (;;) {
+    int64_t fnum = 0;
+    unsigned char* audio = nullptr;
+    size_t bytes = 0;
+    int rc = api.decode_frame(h, &fnum, &audio, &bytes);
+    if (rc == kMpgNewFormat) {
+      api.getformat(h, &rate, &channels, &encoding);
+      if (encoding != kEncFloat32 || channels < 1 || channels > 2) {
+        free(buf);
+        api.destroy(h);
+        return 3;
+      }
+      continue;
+    }
+    if (rc == kMpgNeedMore || rc == kMpgDone) break;  // whole file was fed
+    if (rc != kMpgOK) {
+      // tolerate recoverable frame errors (resync) only before any audio
+      if (n == 0 && bytes == 0) continue;
+      free(buf);
+      api.destroy(h);
+      return 3;
+    }
+    if (!audio || bytes == 0) continue;
+    const float* pcm = (const float*)audio;
+    uint64_t frames = bytes / (sizeof(float) * (uint64_t)channels);
+    if (n + frames > cap) {
+      while (n + frames > cap) cap *= 2;
+      buf = (float*)realloc(buf, cap * sizeof(float));
+    }
+    if (channels == 1) {
+      memcpy(buf + n, pcm, frames * sizeof(float));
+    } else {
+      for (uint64_t i = 0; i < frames; ++i)
+        buf[n + i] = 0.5f * (pcm[2 * i] + pcm[2 * i + 1]);
+    }
+    n += frames;
+  }
+  api.destroy(h);
+  if (n == 0 || rate == 0) {
+    free(buf);
+    return 4;
+  }
+  *out = buf;
+  *n_samples = n;
+  *sample_rate = (uint32_t)rate;
+  return 0;
+}
+
+void wealy_free(void* p) { free(p); }
 
 // ---------------------------------------------------------------------------
 // Polyphase resampling

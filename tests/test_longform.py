@@ -1,0 +1,180 @@
+"""Long-form transcription semantics (VERDICT round 1 item 7): sequential
+chunk decoding with <|startofprev|> context carry-over, temperature fallback,
+compression-ratio gating, and the no-speech skip — the algorithm behind the
+reference's transcription sets (consumed at lib/audio_dataset/cache.py:46-90).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from wealy_tpu.models.whisper.config import WhisperConfig
+from wealy_tpu.models.whisper.longform import (
+    _ctx_bucket,
+    compression_ratio,
+    transcribe_longform,
+)
+from wealy_tpu.models.whisper.model import Whisper
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = WhisperConfig(
+        n_mels=8,
+        n_audio_ctx=16,
+        n_audio_state=32,
+        n_audio_head=2,
+        n_audio_layer=1,
+        n_vocab=51865,
+        n_text_ctx=64,
+        n_text_state=32,
+        n_text_head=2,
+        n_text_layer=2,
+    )
+    model = Whisper(cfg, dtype=jnp.float32)
+    mel0 = jnp.zeros((1, cfg.n_mels, 32), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(3), mel0, jnp.zeros((1, 4), jnp.int32)
+    )["params"]
+    rng = np.random.default_rng(0)
+    states = jnp.asarray(
+        rng.normal(size=(3, cfg.n_audio_ctx, cfg.n_audio_state)).astype(np.float32)
+    )
+    return model, params, cfg, states
+
+
+class TestHelpers:
+    def test_compression_ratio_detects_repetition(self):
+        repetitive = b"la la la la la la la la la la la la la la la " * 20
+        varied = bytes(np.random.default_rng(0).integers(0, 256, 300, dtype=np.uint8))
+        assert compression_ratio(repetitive) > 4.0
+        assert compression_ratio(varied) < 1.2
+        assert compression_ratio(b"") == 0.0
+
+    def test_ctx_bucket(self):
+        assert _ctx_bucket(0) == 0
+        assert _ctx_bucket(7) == 0
+        assert _ctx_bucket(8) == 8
+        assert _ctx_bucket(31) == 16
+        assert _ctx_bucket(500) == 128
+
+
+class TestCarryOver:
+    def test_sequential_diverges_from_independent(self, tiny_model):
+        """THE long-form property: chunk 2's decode is conditioned on chunk
+        1's output (<|startofprev|> prompt), so sequential and greedy-per-
+        chunk decoding diverge; with carry-over disabled they coincide."""
+        model, params, cfg, states = tiny_model
+        kw = dict(
+            language=0, max_len=24, temperatures=(0.0,),
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None,
+        )
+        seq = transcribe_longform(
+            model, params, states, cfg, condition_on_previous_text=True, **kw
+        )
+        indep = transcribe_longform(
+            model, params, states, cfg, condition_on_previous_text=False, **kw
+        )
+        # chunk 1 has no context either way -> identical
+        assert seq["chunk_tokens"][0] == indep["chunk_tokens"][0]
+        assert len(seq["chunk_tokens"][0]) >= 8  # random model rambles
+        # later chunks see carried context -> prompts differ -> outputs differ
+        assert seq["segments"][1]["context_len"] > 0
+        assert indep["segments"][1]["context_len"] == 0
+        assert (
+            seq["chunk_tokens"][1] != indep["chunk_tokens"][1]
+            or seq["chunk_tokens"][2] != indep["chunk_tokens"][2]
+        )
+
+    def test_context_accumulates_and_buckets(self, tiny_model):
+        model, params, cfg, states = tiny_model
+        out = transcribe_longform(
+            model, params, states, cfg,
+            language=0, max_len=24, temperatures=(0.0,),
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None,
+        )
+        ctx = [s["context_len"] for s in out["segments"]]
+        assert ctx[0] == 0
+        assert ctx[1] > 0
+        assert ctx[2] >= ctx[1]  # context grows (until the 128 cap)
+        assert all(c in (0, 8, 16, 32, 64, 128) for c in ctx)  # bucketed
+
+
+class TestTemperatureFallback:
+    def test_ladder_exhausts_on_impossible_gate(self, tiny_model):
+        """An unsatisfiable compression gate walks the whole ladder and keeps
+        the last (highest-temperature) attempt."""
+        model, params, cfg, states = tiny_model
+        out = transcribe_longform(
+            model, params, states[:1], cfg,
+            language=0, max_len=16, temperatures=(0.0, 0.5, 1.0),
+            compression_ratio_threshold=0.01,  # nothing compresses this well
+            logprob_threshold=None, no_speech_threshold=None,
+        )
+        assert out["segments"][0]["temperature"] == 1.0
+
+    def test_accepts_first_rung_when_gates_pass(self, tiny_model):
+        model, params, cfg, states = tiny_model
+        out = transcribe_longform(
+            model, params, states[:1], cfg,
+            language=0, max_len=16, temperatures=(0.0, 0.5, 1.0),
+            compression_ratio_threshold=1e9, logprob_threshold=-1e9,
+            no_speech_threshold=None,
+        )
+        assert out["segments"][0]["temperature"] == 0.0
+
+    def test_high_temperature_resets_context(self, tiny_model):
+        """openai-whisper resets the prompt after a >0.5-temperature rescue —
+        its text is too unreliable to condition on."""
+        model, params, cfg, states = tiny_model
+        out = transcribe_longform(
+            model, params, states, cfg,
+            language=0, max_len=16, temperatures=(0.9,),
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None,
+        )
+        assert all(s["context_len"] == 0 for s in out["segments"])
+
+
+class TestNoSpeechSkip:
+    def test_skip_emits_empty_chunk(self, tiny_model):
+        model, params, cfg, states = tiny_model
+        out = transcribe_longform(
+            model, params, states, cfg,
+            language=0, max_len=16, temperatures=(0.0,),
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=0.0,  # every chunk "is silence"
+        )
+        assert all(s["skipped"] for s in out["segments"])
+        assert all(toks == [] for toks in out["chunk_tokens"])
+        # skipped chunks must not leak into the carry-over context
+        assert all(s["context_len"] == 0 for s in out["segments"])
+
+    def test_logprob_guard_vetoes_skip(self, tiny_model):
+        """High no-speech prob alone is not enough when the decode is
+        confident (avg_logprob above threshold) — openai-whisper semantics."""
+        model, params, cfg, states = tiny_model
+        out = transcribe_longform(
+            model, params, states[:1], cfg,
+            language=0, max_len=16, temperatures=(0.0,),
+            compression_ratio_threshold=None,
+            logprob_threshold=-1e9,  # everything counts as confident
+            no_speech_threshold=0.0,
+        )
+        assert not out["segments"][0]["skipped"]
+
+
+class TestDecodeTextPath:
+    def test_text_joined_from_tokenless_decoder(self, tiny_model):
+        model, params, cfg, states = tiny_model
+        out = transcribe_longform(
+            model, params, states[:2], cfg,
+            language=0, max_len=16, temperatures=(0.0,),
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None,
+            decode_text=lambda ids: " ".join(str(i) for i in ids),
+        )
+        assert isinstance(out["text"], str) and len(out["text"]) > 0

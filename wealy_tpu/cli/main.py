@@ -126,6 +126,7 @@ def cmd_transcribe(args) -> int:
         max_len=args.max_len,
         limit=args.limit,
         overwrite=args.overwrite,
+        longform=not args.greedy,
     )
     print(
         json.dumps(
@@ -461,6 +462,12 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--max-len", type=int, default=224)
     tr.add_argument("--limit", type=int, default=None)
     tr.add_argument("--overwrite", action="store_true")
+    tr.add_argument(
+        "--greedy",
+        action="store_true",
+        help="independent greedy per-chunk decode instead of the default "
+        "sequential long-form algorithm (context carry-over + fallback)",
+    )
     tr.set_defaults(fn=cmd_transcribe)
 
     t = sub.add_parser("train", help="metric-learning training")

@@ -1,10 +1,17 @@
-"""Transcription job: audio -> greedy Whisper decode -> .txt files + validity
-census.
+"""Transcription job: audio -> long-form Whisper decode -> .txt files +
+validity census.
 
 Produces what the reference's transcription stack consumes
 (lib/audio_dataset/cache.py expects ``{root}/{whisper_set}/.../{key}.txt``
 trees): per-version transcription text files, then a TranscriptionCache index
 + TranscriptionValidator census persisted alongside.
+
+Decoding follows Whisper's published long-form algorithm by default —
+sequential chunks with <|startofprev|> context carry-over, temperature
+fallback, compression-ratio/logprob gating, no-speech skip
+(wealy_tpu.models.whisper.longform) — because the reference's transcription
+sets (``turbo_nothing_whisper_42`` etc.) were produced that way; greedy
+per-chunk decoding remains available via ``longform=False``.
 
 Token ids decode to text through the offline byte-level BPE
 (wealy_tpu.data.tokenizer) when a vocab directory is supplied; without one,
@@ -41,6 +48,7 @@ def transcribe_split(
     limit: Optional[int] = None,
     overwrite: bool = False,
     hf_checkpoint: Optional[str] = None,
+    longform: bool = True,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Transcribe every version of a split into the reference .txt layout and
@@ -74,18 +82,38 @@ def transcribe_split(
 
             mel = log_mel_spectrogram_pallas(jnp.asarray(chunks), n_mels=wcfg.n_mels)
             enc = model.apply({"params": params}, mel, method=Whisper.encode)
-            out = greedy_decode(
-                model, params, enc, wcfg, prompt=prompt, max_len=max_len
-            )
-            tokens = np.asarray(out["tokens"])
-            lengths = np.asarray(out["lengths"])
-            pieces = []
-            for c in range(tokens.shape[0]):
-                ids = tokens[c, len(prompt) : int(lengths[c])]
+            if longform:
+                from wealy_tpu.models.whisper.longform import transcribe_longform
+
+                res = transcribe_longform(
+                    model, params, enc, wcfg,
+                    language=language, max_len=max_len,
+                    decode_text=(
+                        (lambda ids: tokenizer.decode(list(ids)))
+                        if tokenizer is not None else None
+                    ),
+                    seed=abs(hash(version_key)) % (2**31),
+                )
                 if tokenizer is not None:
-                    pieces.append(tokenizer.decode(ids.tolist()))
+                    pieces = [res["text"] or ""]
                 else:
-                    pieces.append(" ".join(str(int(t)) for t in ids))
+                    pieces = [
+                        " ".join(str(int(t)) for t in toks)
+                        for toks in res["chunk_tokens"]
+                    ]
+            else:
+                out = greedy_decode(
+                    model, params, enc, wcfg, prompt=prompt, max_len=max_len
+                )
+                tokens = np.asarray(out["tokens"])
+                lengths = np.asarray(out["lengths"])
+                pieces = []
+                for c in range(tokens.shape[0]):
+                    ids = tokens[c, len(prompt) : int(lengths[c])]
+                    if tokenizer is not None:
+                        pieces.append(tokenizer.decode(ids.tolist()))
+                    else:
+                        pieces.append(" ".join(str(int(t)) for t in ids))
             out_path.write_text(" ".join(p.strip() for p in pieces).strip() + "\n")
             done.append(version_key)
         except Exception as e:

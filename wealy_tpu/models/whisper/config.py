@@ -18,7 +18,10 @@ class WhisperConfig:
     n_text_head: int = 6
     n_text_layer: int = 4
 
-    # special token ids (multilingual vocab layout)
+    # special token ids (multilingual vocab layout; openai-whisper
+    # tokenizer.py specials order: <|endoftext|> <|startoftranscript|>
+    # <lang>*n <|translate|> <|transcribe|> <|startoflm|> <|startofprev|>
+    # <|nospeech|> <|notimestamps|> <timestamps>*1501)
     @property
     def sot(self) -> int:  # <|startoftranscript|>
         return self.n_vocab - 51865 + 50258
@@ -28,16 +31,33 @@ class WhisperConfig:
         return self.sot - 1
 
     @property
-    def token_transcribe(self) -> int:
-        return self.sot + 1 + 99 + 1  # after 99 language tokens + <|translate|>
+    def n_languages(self) -> int:
+        # large-v3 family (n_vocab 51866) added a 100th language (yue)
+        return 99 + (self.n_vocab - 51865)
 
     @property
     def token_translate(self) -> int:
-        return self.sot + 1 + 99
+        return self.sot + 1 + self.n_languages
+
+    @property
+    def token_transcribe(self) -> int:
+        return self.token_translate + 1
+
+    @property
+    def token_startoflm(self) -> int:
+        return self.token_transcribe + 1
+
+    @property
+    def token_startofprev(self) -> int:  # long-form context carry-over prefix
+        return self.token_startoflm + 1
+
+    @property
+    def token_nospeech(self) -> int:
+        return self.token_startofprev + 1
 
     @property
     def token_no_timestamps(self) -> int:
-        return self.sot + 1 + 99 + 2 + 1  # <|startofprev|> sits between
+        return self.token_nospeech + 1
 
     def language_token(self, lang_index: int) -> int:
         """Language tokens immediately follow <|startoftranscript|>; English is 0."""

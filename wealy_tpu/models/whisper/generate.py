@@ -75,13 +75,21 @@ def greedy_decode(
     max_len: int = 224,
     suppress_tokens: Optional[Sequence[int]] = None,
     eot: Optional[int] = None,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
 ):
-    """Greedy-decode from encoder states.
+    """Decode from encoder states: greedy at ``temperature=0`` (default),
+    categorical sampling otherwise (the long-form fallback ladder's sampled
+    retries — see :mod:`wealy_tpu.models.whisper.longform`).
 
     Returns dict with:
       - ``tokens``  (B, max_len) int32 — prompt + generated, eot-padded
       - ``lengths`` (B,) int32 — number of valid positions (incl. prompt)
       - ``hidden``  (B, max_len, D) — decoder last hidden state per position
+      - ``sum_logprob`` (B,) f32 — Σ log p(chosen token) over generated
+        tokens incl. the closing eot (the long-form avg_logprob numerator)
+      - ``nospeech_prob`` (B,) f32 — p(<|nospeech|>) at the <|sot|> position
+        (voice-activity gate of the long-form algorithm)
     """
     B = audio_states.shape[0]
     P = len(prompt)
@@ -93,6 +101,8 @@ def greedy_decode(
     tokens = tokens.at[:, :P].set(jnp.asarray(list(prompt), dtype=jnp.int32))
     hidden_buf = jnp.zeros((B, max_len, config.n_text_state), model.dtype)
     caches = init_kv_caches(config, B, max_len, dtype=model.dtype)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     suppress = (
         jnp.asarray(list(suppress_tokens), dtype=jnp.int32)
@@ -105,6 +115,16 @@ def greedy_decode(
             return logits
         return logits.at[:, suppress].set(-jnp.inf)
 
+    def _choose(logits, step_key):
+        """(B, V) masked logits -> (next_token, logprob of it)."""
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if temperature == 0.0:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(step_key, logits.astype(jnp.float32) / temperature)
+            nxt = nxt.astype(jnp.int32)
+        return nxt, jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+
     # Prefill the prompt (cache positions [0, P)).
     hid, logits, caches = model.apply(
         {"params": params},
@@ -115,16 +135,22 @@ def greedy_decode(
         method=Whisper.decode,
     )
     hidden_buf = lax.dynamic_update_slice(hidden_buf, hid.astype(model.dtype), (0, 0, 0))
-    next_tok = jnp.argmax(_mask_logits(logits[:, -1]), axis=-1).astype(jnp.int32)
+    # voice-activity signal: p(<|nospeech|>) at the <|sot|> position (index 0
+    # of the prompt — openai-whisper's no_speech_prob)
+    sot_logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
+    nospeech_prob = jnp.exp(sot_logp[:, config.token_nospeech])
+
+    next_tok, logp0 = _choose(_mask_logits(logits[:, -1]), jax.random.fold_in(rng, P))
     tokens = tokens.at[:, P].set(next_tok)
     finished0 = next_tok == eot
+    sum_logprob0 = logp0  # first generated token always counts
 
     def cond(state):
-        i, _, _, _, finished = state
+        i, _, _, _, finished, _ = state
         return (i < max_len - 1) & jnp.logical_not(jnp.all(finished))
 
     def body(state):
-        i, tokens, hidden_buf, caches, finished = state
+        i, tokens, hidden_buf, caches, finished, sum_logprob = state
         tok = lax.dynamic_slice(tokens, (0, i), (B, 1))
         hid, logits, caches = model.apply(
             {"params": params},
@@ -137,13 +163,14 @@ def greedy_decode(
         hidden_buf = lax.dynamic_update_slice(
             hidden_buf, hid.astype(model.dtype), (0, i, 0)
         )
-        nxt = jnp.argmax(_mask_logits(logits[:, -1]), axis=-1).astype(jnp.int32)
+        nxt, logp = _choose(_mask_logits(logits[:, -1]), jax.random.fold_in(rng, i + 1))
         nxt = jnp.where(finished, eot, nxt)
+        sum_logprob = sum_logprob + jnp.where(finished, 0.0, logp)
         tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
-        return (i + 1, tokens, hidden_buf, caches, finished | (nxt == eot))
+        return (i + 1, tokens, hidden_buf, caches, finished | (nxt == eot), sum_logprob)
 
-    state = (jnp.int32(P), tokens, hidden_buf, caches, finished0)
-    _, tokens, hidden_buf, _, _ = lax.while_loop(cond, body, state)
+    state = (jnp.int32(P), tokens, hidden_buf, caches, finished0, sum_logprob0)
+    _, tokens, hidden_buf, _, _, sum_logprob = lax.while_loop(cond, body, state)
 
     # lengths: prompt + generated tokens before the first eot
     pos = jnp.arange(max_len)[None, :]
@@ -151,4 +178,10 @@ def greedy_decode(
     has_eot = jnp.any(is_eot, axis=1)
     first_eot = jnp.argmax(is_eot, axis=1)
     lengths = jnp.where(has_eot, first_eot, max_len).astype(jnp.int32)
-    return {"tokens": tokens, "lengths": lengths, "hidden": hidden_buf}
+    return {
+        "tokens": tokens,
+        "lengths": lengths,
+        "hidden": hidden_buf,
+        "sum_logprob": sum_logprob,
+        "nospeech_prob": nospeech_prob,
+    }

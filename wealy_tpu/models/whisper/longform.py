@@ -1,0 +1,175 @@
+"""Sequential long-form transcription: context carry-over + temperature
+fallback + compression-ratio gating.
+
+The reference's transcription trees (consumed at
+lib/audio_dataset/cache.py:46-90, produced by Whisper sets like
+``turbo_nothing_whisper_42``, lib/audio_dataset/dataset.py:17-19) come from
+Whisper's published long-form algorithm, which decodes 30 s chunks
+SEQUENTIALLY: each chunk's prompt is ``<|startofprev|>`` + the tail of the
+previously transcribed text, and each chunk retries through a temperature
+ladder whenever the output is degenerate (zlib compression ratio above 2.4 —
+looping text — or mean token log-probability below −1.0), with a
+voice-activity skip when p(<|nospeech|>) is high. Greedy-per-chunk decoding
+(the round-1 transcribe CLI) produces a different text census on full songs;
+this module restores the reference-faithful behavior.
+
+TPU-shaped details:
+- context lengths snap to a small bucket set so each (prompt_len,
+  temperature) pair compiles once and is reused across all chunks/songs;
+- each temperature rung is its own compiled program (the ladder is ≤6 wide);
+- when no tokenizer is available, the compression-ratio gate runs over the
+  token-id byte stream instead of text — repetition shows up identically
+  (documented deviation; pass ``decode_text`` for byte-exact parity).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wealy_tpu.models.whisper.config import WhisperConfig
+from wealy_tpu.models.whisper.generate import default_prompt, greedy_decode
+from wealy_tpu.models.whisper.model import Whisper
+
+# context-tail buckets: bounded compile count, longest useful context 128
+CTX_BUCKETS = (0, 8, 16, 32, 64, 128)
+
+
+def compression_ratio(data: bytes) -> float:
+    """len(raw) / len(zlib(raw)) — high for degenerately repetitive output
+    (openai-whisper's gating statistic)."""
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def _ctx_bucket(n: int) -> int:
+    best = 0
+    for b in CTX_BUCKETS:
+        if b <= n:
+            best = b
+    return best
+
+
+def transcribe_longform(
+    model: Whisper,
+    params,
+    audio_states,
+    config: WhisperConfig,
+    *,
+    language: Optional[int] = 0,
+    max_len: int = 224,
+    temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    condition_on_previous_text: bool = True,
+    decode_text: Optional[Callable[[Sequence[int]], str]] = None,
+    seed: int = 0,
+) -> dict:
+    """Transcribe one song's encoder states (n_chunks, ctx, d) sequentially.
+
+    Returns dict with:
+      - ``chunk_tokens``: list of per-chunk generated token-id lists
+        (skipped/no-speech chunks are empty)
+      - ``segments``: per-chunk metadata dicts (temperature used,
+        avg_logprob, compression_ratio, no_speech_prob, context_len,
+        skipped)
+      - ``text``: joined text when ``decode_text`` is provided, else None
+    """
+    n_chunks = audio_states.shape[0]
+    base_prompt = default_prompt(config, language=language)
+    rng = jax.random.PRNGKey(seed)
+
+    context: list[int] = []
+    chunk_tokens: list[list[int]] = []
+    segments: list[dict] = []
+
+    for c in range(n_chunks):
+        states = audio_states[c : c + 1]
+        k = _ctx_bucket(len(context))
+        ctx_tail = context[-k:] if k else []
+        prompt = (
+            ([config.token_startofprev] + ctx_tail) if ctx_tail else []
+        ) + base_prompt
+
+        chosen = None
+        for t in temperatures:
+            out = greedy_decode(
+                model,
+                params,
+                states,
+                config,
+                prompt=prompt,
+                max_len=max_len,
+                temperature=float(t),
+                rng=jax.random.fold_in(rng, c * 101 + int(t * 10)),
+            )
+            length = int(out["lengths"][0])
+            gen = np.asarray(out["tokens"])[0, len(prompt) : length].tolist()
+            n_gen = max(length - len(prompt), 0)
+            avg_logprob = float(out["sum_logprob"][0]) / (n_gen + 1)
+            if decode_text is not None:
+                payload = decode_text(gen).encode("utf-8")
+            else:
+                payload = np.asarray(gen, np.int32).tobytes()
+            ratio = compression_ratio(payload)
+
+            needs_fallback = False
+            if compression_ratio_threshold is not None and ratio > compression_ratio_threshold:
+                needs_fallback = True  # looping/repetitive output
+            if logprob_threshold is not None and avg_logprob < logprob_threshold:
+                needs_fallback = True  # low-confidence output
+            chosen = {
+                "tokens": gen,
+                "temperature": float(t),
+                "avg_logprob": avg_logprob,
+                "compression_ratio": ratio,
+                "no_speech_prob": float(out["nospeech_prob"][0]),
+            }
+            if not needs_fallback:
+                break
+        assert chosen is not None
+
+        # voice-activity gate: confident silence skips the chunk entirely
+        skipped = False
+        if (
+            no_speech_threshold is not None
+            and chosen["no_speech_prob"] > no_speech_threshold
+            and (
+                logprob_threshold is None
+                or chosen["avg_logprob"] < logprob_threshold
+            )
+        ):
+            skipped = True
+            chosen["tokens"] = []
+
+        chunk_tokens.append(chosen["tokens"])
+        segments.append(
+            {
+                "temperature": chosen["temperature"],
+                "avg_logprob": chosen["avg_logprob"],
+                "compression_ratio": chosen["compression_ratio"],
+                "no_speech_prob": chosen["no_speech_prob"],
+                "context_len": len(ctx_tail),
+                "skipped": skipped,
+            }
+        )
+
+        # context carry-over; a high-temperature rescue resets the context
+        # (its text is unreliable as a prompt)
+        if not condition_on_previous_text or chosen["temperature"] > 0.5:
+            context = []
+        elif not skipped:
+            context = (context + chosen["tokens"])[-max(CTX_BUCKETS):]
+
+    text = None
+    if decode_text is not None:
+        text = " ".join(
+            decode_text(toks).strip() for toks in chunk_tokens if toks
+        ).strip()
+    return {"chunk_tokens": chunk_tokens, "segments": segments, "text": text}

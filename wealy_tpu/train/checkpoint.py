@@ -1,5 +1,12 @@
 """Orbax checkpointing for model/optimizer state (new vs the reference, which
-only persists dataset state — SURVEY.md §5.4)."""
+only persists dataset state — SURVEY.md §5.4).
+
+Sharded layouts are first-class: saving accepts mesh-sharded jax.Arrays
+(TP/DP param layouts) as-is, and ``restore_state`` rebuilds each leaf with
+the SAME sharding as the live template state (abstract
+``jax.ShapeDtypeStruct`` templates carrying shardings), so a
+tensor-parallel run resumes into its sharded layout without a host-side
+gather/rescatter round-trip."""
 
 from __future__ import annotations
 
@@ -50,16 +57,17 @@ class CheckpointManager:
         self.save(int(state.step), payload)
 
     def restore_state(self, state):
-        """Restore into an initialized TrainState (shapes from ``state``)."""
+        """Restore into an initialized TrainState, preserving each leaf's
+        sharding (TP/DP layouts restore sharded — round 1 gap)."""
         import jax.numpy as jnp
 
         template = {
             "step": int(state.step),
-            "params": state.params,
-            "opt_state": state.opt_state,
+            "params": _abstract_like(state.params),
+            "opt_state": _abstract_like(state.opt_state),
         }
         if state.batch_stats is not None:
-            template["batch_stats"] = state.batch_stats
+            template["batch_stats"] = _abstract_like(state.batch_stats)
         restored = self.restore(template=template)
         return state.replace(
             step=jnp.asarray(restored["step"], jnp.int32),
@@ -67,3 +75,15 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
             batch_stats=restored.get("batch_stats", state.batch_stats),
         )
+
+
+def _abstract_like(tree):
+    """Array leaves -> ShapeDtypeStruct carrying the leaf's sharding, so
+    orbax restores directly into the live (possibly TP-sharded) layout."""
+
+    def leaf(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    return jax.tree_util.tree_map(leaf, tree)

@@ -81,16 +81,26 @@ def fit(
     make_batch: Optional[Callable] = None,
     eval_fn: Optional[Callable] = None,
     eval_every: int = 1000,
+    mesh=None,
+    prefetch_depth: int = 2,
 ):
     """Run training until ``max_steps`` (or ``epochs``). Returns final state.
 
     ``make_batch(items) -> dict`` overrides the default single-modal collate
     (use wealy_tpu.train.multimodal adapters for the fusion models).
 
+    ``mesh``: when given, every batch is ``shard_batch``-placed on the mesh's
+    ``data`` axis before the step — multi-chip training is default-correct
+    with no caller-side input wiring. Collation + device placement run on a
+    background prefetch thread (``prefetch_depth`` batches ahead), so the
+    host input path overlaps device steps.
+
     ``eval_fn(state) -> dict`` runs every ``eval_every`` steps; its scalars are
     written to the metrics stream prefixed ``val_`` (the conf.train.eval_every
     channel of the implied reference driver, SURVEY.md §5.6).
     """
+    from wealy_tpu.utils.prefetch import prefetch
+
     writer = writer or MetricsWriter()
     rng = rng or np.random.default_rng(0)
     if make_batch is None:
@@ -102,12 +112,25 @@ def fit(
                 )
             )
 
+    if mesh is not None:
+        from wealy_tpu.train.step import shard_batch
+
+        def produce(items):
+            return shard_batch(make_batch(items), mesh)
+    else:
+        produce = make_batch
+
     step = int(state.step)
     epoch = 0
     done = False
     while not done and (epochs is None or epoch < epochs):
-        for items in sampler.epoch(shuffle=True, batch_size=batch_size):
-            state, logdict = train_step(state, make_batch(items))
+        batches = prefetch(
+            sampler.epoch(shuffle=True, batch_size=batch_size),
+            depth=prefetch_depth,
+            transform=produce,
+        )
+        for batch in batches:
+            state, logdict = train_step(state, batch)
             step += 1
             writer.write(step, logdict)
             if eval_fn is not None and step % eval_every == 0:

@@ -30,22 +30,38 @@ def prefetch(
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list[BaseException] = []
+    stop = threading.Event()  # consumer abandoned us (e.g. max_steps break)
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(transform(item) if transform is not None else item)
+                if not _put(transform(item) if transform is not None else item):
+                    return
         except BaseException as e:  # propagate to consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # GeneratorExit / early break: release the worker promptly instead of
+        # leaking a thread blocked on q.put
+        stop.set()

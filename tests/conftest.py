@@ -21,6 +21,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite is compile-dominated on the single
+# test CPU; caching compiled executables across runs cuts repeat wall-clock
+# drastically (first run pays full price).
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass  # older jax without these knobs
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -296,9 +296,11 @@ class TestStreamingMesh:
 class TestStreamingBoundedMemory:
     def test_100k_corpus_bounded_rss(self, rng):
         """VERDICT round 1 item 2 'done' criterion: a 100K-song corpus streams
-        within bounded RSS. The full (Q, N) matrix would be 40 GB; we assert
-        peak RSS growth stays under 2 GB (state is O(Q*R) ~ 2.4 MB; transient
-        device slabs (query_block, block_size) ~ 128 MB)."""
+        within bounded RSS. SHS-test evaluation shape: ~10K queries ranked
+        against the full 100K corpus (the full matrix would be 4 GB; an
+        all-pairs 100K x 100K would be 40 GB); peak RSS growth must stay
+        under 2 GB (state is O(Q*R) ~ 120 KB; transient device slabs
+        (query_block, block_size) ~ 512 MB)."""
         import resource
 
         from wealy_tpu.parallel.similarity import (
@@ -306,24 +308,25 @@ class TestStreamingBoundedMemory:
             streaming_relevant_ranks,
         )
 
-        N, C = 100_000, 8
+        N, Q, C = 100_000, 10_000, 8
         labels = np.repeat(np.arange(N // 4), 4)
         z = rng.normal(size=(N, C)).astype(np.float32)
         z += 2.5 * rng.normal(size=(N // 4, C)).astype(np.float32)[labels]
 
         rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
         ranks, n_rel = streaming_relevant_ranks(
-            z, z, labels, labels, mode="cossim",
-            block_size=8192, query_block=16384,
+            z[:Q], z, labels[:Q], labels, mode="cossim",
+            block_size=16384, query_block=16384,
+            query_idx=np.arange(Q), corpus_idx=np.arange(N),
         )
         rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         growth_gib = (rss_after - rss_before) / (1024 ** 2)
         assert growth_gib < 2.0, f"RSS grew {growth_gib:.2f} GiB — not streaming"
 
-        assert ranks.shape == (N, 3)
+        assert ranks.shape == (Q, 3)
         assert (n_rel == 3).all()
         m = map_from_ranks(ranks, n_rel)
-        assert m["n_queries"] == N
+        assert m["n_queries"] == Q
         # 25K clusters in 8-D overlap heavily, so absolute MAP is modest —
         # assert far above chance (3 relevant / 100K candidates => ~3e-5)
         assert m["MAP"] > 0.05

@@ -285,3 +285,93 @@ class TestScanLayers:
         np.testing.assert_allclose(
             np.asarray(got_all), np.asarray(want_all), rtol=1e-4, atol=1e-5
         )
+
+
+class TestCrossKvCache:
+    """Precomputed cross-attention K/V (the per-step projection eliminator)
+    must be a pure refactor: decode(xa_kv=precomputed) == decode(from
+    audio_states), scan and unrolled."""
+
+    @pytest.mark.parametrize("scan_layers", [False, True])
+    def test_decode_equivalence(self, scan_layers):
+        cfg = WhisperConfig(
+            n_mels=8, n_audio_ctx=16, n_audio_state=32, n_audio_head=2,
+            n_audio_layer=1, n_vocab=64, n_text_ctx=12, n_text_state=32,
+            n_text_head=2, n_text_layer=2,
+        )
+        model = Whisper(cfg, dtype=jnp.float32, scan_layers=scan_layers)
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(rng.normal(size=(2, cfg.n_mels, 32)).astype(np.float32))
+        tokens = jnp.asarray(rng.integers(0, 64, size=(2, 6)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), mel, tokens)["params"]
+        states = model.apply({"params": params}, mel, method=Whisper.encode)
+
+        from wealy_tpu.models.whisper.generate import init_kv_caches
+
+        caches = init_kv_caches(cfg, 2, cfg.n_text_ctx, dtype=jnp.float32)
+        want_h, want_l, _ = model.apply(
+            {"params": params}, tokens, states,
+            kv_caches=caches, cache_index=0, method=Whisper.decode,
+        )
+        xa_kv = model.apply(
+            {"params": params}, states, method=Whisper.precompute_cross_kv
+        )
+        assert len(xa_kv) == cfg.n_text_layer
+        # decode layout: k (B, H, Dh, Tk) pre-scaled, v (B, H, Tk, Dh)
+        assert xa_kv[0][0].shape == (2, 2, 16, cfg.n_audio_ctx)
+        assert xa_kv[0][1].shape == (2, 2, cfg.n_audio_ctx, 16)
+        got_h, got_l, _ = model.apply(
+            {"params": params}, tokens, states,
+            kv_caches=caches, cache_index=0, xa_kv=xa_kv, method=Whisper.decode,
+        )
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l), rtol=1e-6, atol=1e-6)
+
+    def test_greedy_decode_unchanged_by_cache(self):
+        """greedy_decode (which now precomputes xa_kv internally) matches a
+        manual no-xa_kv decode loop token-for-token."""
+        from wealy_tpu.models.whisper.generate import (
+            default_prompt,
+            greedy_decode,
+            init_kv_caches,
+        )
+
+        cfg = WhisperConfig(
+            n_mels=8, n_audio_ctx=16, n_audio_state=32, n_audio_head=2,
+            n_audio_layer=1, n_vocab=51865, n_text_ctx=32, n_text_state=32,
+            n_text_head=2, n_text_layer=2,
+        )
+        model = Whisper(cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray(rng.normal(size=(1, cfg.n_mels, 32)).astype(np.float32))
+        params = model.init(
+            jax.random.PRNGKey(1), mel, jnp.zeros((1, 4), jnp.int32)
+        )["params"]
+        states = model.apply({"params": params}, mel, method=Whisper.encode)
+        prompt = default_prompt(cfg, language=0)
+        out = greedy_decode(model, params, states, cfg, prompt=prompt, max_len=12)
+
+        # manual reference loop WITHOUT the cross-KV cache
+        max_len = 12
+        P = len(prompt)
+        toks = list(prompt)
+        caches = init_kv_caches(cfg, 1, max_len, dtype=jnp.float32)
+        buf = jnp.full((1, max_len), cfg.eot, jnp.int32).at[0, :P].set(jnp.asarray(prompt))
+        _, logits, caches = model.apply(
+            {"params": params}, buf[:, :P], states,
+            kv_caches=caches, cache_index=0, method=Whisper.decode,
+        )
+        nxt = int(jnp.argmax(logits[0, -1]))
+        toks.append(nxt)
+        i = P
+        while nxt != cfg.eot and i < max_len - 1:
+            _, logits, caches = model.apply(
+                {"params": params}, jnp.asarray([[nxt]], jnp.int32), states,
+                kv_caches=caches, cache_index=i, method=Whisper.decode,
+            )
+            nxt = int(jnp.argmax(logits[0, -1]))
+            toks.append(nxt)
+            i += 1
+        L = int(out["lengths"][0])
+        got = np.asarray(out["tokens"])[0, : L + 1].tolist()
+        assert got == toks[: L + 1]

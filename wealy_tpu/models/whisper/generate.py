@@ -35,12 +35,16 @@ def default_prompt(config: WhisperConfig, language: Optional[int] = None) -> lis
 
 
 def init_kv_caches(config: WhisperConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """Self-attention KV caches in DECODE layout: k (B, H, Dh, Tmax)
+    pre-scaled, v (B, H, Tmax, Dh) — contraction-minor for both attention
+    einsums, so per-step reads of the big cached arrays are transpose-free
+    (the round-2 decoder-throughput fix)."""
     H = config.n_text_head
     Dh = config.n_text_state // H
     return [
         (
-            jnp.zeros((batch, max_len, H, Dh), dtype),
-            jnp.zeros((batch, max_len, H, Dh), dtype),
+            jnp.zeros((batch, H, Dh, max_len), dtype),
+            jnp.zeros((batch, H, max_len, Dh), dtype),
         )
         for _ in range(config.n_text_layer)
     ]
@@ -125,6 +129,13 @@ def greedy_decode(
             nxt = nxt.astype(jnp.int32)
         return nxt, jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
 
+    # Cross-attention K/V once (the memory is constant across steps; without
+    # this, every step re-projects 1500 encoder frames per layer — it
+    # dominated the round-1 decoder extraction cost).
+    xa_kv = model.apply(
+        {"params": params}, audio_states, method=Whisper.precompute_cross_kv
+    )
+
     # Prefill the prompt (cache positions [0, P)).
     hid, logits, caches = model.apply(
         {"params": params},
@@ -132,6 +143,7 @@ def greedy_decode(
         audio_states,
         kv_caches=caches,
         cache_index=0,
+        xa_kv=xa_kv,
         method=Whisper.decode,
     )
     hidden_buf = lax.dynamic_update_slice(hidden_buf, hid.astype(model.dtype), (0, 0, 0))
@@ -158,6 +170,7 @@ def greedy_decode(
             audio_states,
             kv_caches=caches,
             cache_index=i,
+            xa_kv=xa_kv,
             method=Whisper.decode,
         )
         hidden_buf = lax.dynamic_update_slice(

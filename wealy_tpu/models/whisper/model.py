@@ -78,29 +78,60 @@ class MultiHeadAttention(nn.Module):
         mask=None,
         kv_cache=None,
         cache_index=None,
+        xa_kv=None,
+        only_kv: bool = False,
     ):
         """x: (B, Tq, D) queries. xa: optional (B, Tk, D) cross-attn memory.
 
         kv_cache: optional (k, v) arrays of shape (B, Tmax, H, Dh) to update
         in-place at ``cache_index`` (self-attn incremental decode). Returns
         (out, new_kv_cache).
+
+        xa_kv: optional precomputed cross-attention (k, v) in DECODE layout —
+        k (B, H, Dh, Tk) pre-scaled, v (B, H, Tk, Dh) — skips the k/v
+        projections entirely AND keeps every per-step einsum transpose-free
+        (round-2 measurement: per-step cost at B=128 was 4x the K/V
+        bandwidth floor because XLA re-materialized transposed K/V each
+        step). ``only_kv=True`` computes exactly that pair from ``x`` (the
+        memory) for prefill-time caching.
+
+        kv_cache uses the same decode layout: k (B, H, Dh, Tmax) pre-scaled,
+        v (B, H, Tmax, Dh).
         """
         D, H = self.n_state, self.n_head
         Dh = D // H
-        q = nn.Dense(D, dtype=self.dtype, name="q")(x)
-        source = x if xa is None else xa
-        k = nn.Dense(D, use_bias=False, dtype=self.dtype, name="k")(source)
-        v = nn.Dense(D, dtype=self.dtype, name="v")(source)
+        B = x.shape[0]
+        scale = Dh**-0.25
+        if only_kv:
+            k = nn.Dense(D, use_bias=False, dtype=self.dtype, name="k")(x)
+            v = nn.Dense(D, dtype=self.dtype, name="v")(x)
+            # decode layout, k pre-scaled (matches the q*scale, k*scale
+            # split of the non-cached path)
+            k = (k.reshape(B, -1, H, Dh) * scale).transpose(0, 2, 3, 1)
+            v = v.reshape(B, -1, H, Dh).transpose(0, 2, 1, 3)
+            return k, v
 
-        B, Tq = q.shape[0], q.shape[1]
+        q = nn.Dense(D, dtype=self.dtype, name="q")(x)
+        Tq = q.shape[1]
         q = q.reshape(B, Tq, H, Dh)
-        k = k.reshape(B, -1, H, Dh)
-        v = v.reshape(B, -1, H, Dh)
+        decode_layout = kv_cache is not None or xa_kv is not None
+        if xa_kv is not None:
+            k, v = xa_kv  # decode layout, precomputed at prefill
+        else:
+            source = x if xa is None else xa
+            k = nn.Dense(D, use_bias=False, dtype=self.dtype, name="k")(source)
+            v = nn.Dense(D, dtype=self.dtype, name="v")(source)
+            k = k.reshape(B, -1, H, Dh)
+            v = v.reshape(B, -1, H, Dh)
 
         if kv_cache is not None:
+            # new k/v are (B, T, H, Dh) with tiny T — transposing them is
+            # cheap; the big cached arrays are never transposed
             ck, cv = kv_cache
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            k_new = (k * scale).transpose(0, 2, 3, 1).astype(ck.dtype)  # (B,H,Dh,T)
+            v_new = v.transpose(0, 2, 1, 3).astype(cv.dtype)  # (B,H,T,Dh)
+            ck = jax.lax.dynamic_update_slice(ck, k_new, (0, 0, 0, cache_index))
+            cv = jax.lax.dynamic_update_slice(cv, v_new, (0, 0, cache_index, 0))
             k, v = ck, cv
             new_cache = (ck, cv)
         else:
@@ -111,6 +142,7 @@ class MultiHeadAttention(nn.Module):
             and mask is None
             and kv_cache is None
             and xa is None
+            and xa_kv is None
             and q.shape[1] >= 256
         ):
             from wealy_tpu.ops.flash_attention import flash_mha
@@ -120,7 +152,21 @@ class MultiHeadAttention(nn.Module):
             out = nn.Dense(D, dtype=self.dtype, name="out")(out)
             return out, None
 
-        scale = Dh**-0.25
+        if decode_layout:
+            # k (B,H,Dh,Tk) pre-scaled, v (B,H,Tk,Dh): contraction-minor on
+            # both einsums — no per-step transpose of the large cached arrays
+            qt = (q * scale).transpose(0, 2, 1, 3)  # (B,H,Tq,Dh) — tiny
+            logits = jnp.einsum(
+                "bhqd,bhdk->bhqk", qt, k, preferred_element_type=jnp.float32
+            )
+            if mask is not None:
+                logits = logits + mask
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D).astype(self.dtype)
+            out = nn.Dense(D, dtype=self.dtype, name="out")(out)
+            return out, new_cache
+
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk",
             q * scale,
@@ -145,7 +191,22 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None):
+    def __call__(
+        self,
+        x,
+        xa=None,
+        mask=None,
+        kv_cache=None,
+        cache_index=None,
+        xa_kv=None,
+        compute_xa_kv_only: bool = False,
+    ):
+        if compute_xa_kv_only:
+            # prefill-time cross K/V from the encoder memory (x here IS the
+            # memory); param names match the normal path ("cross_attn/{k,v}")
+            return MultiHeadAttention(
+                self.n_state, self.n_head, dtype=self.dtype, name="cross_attn"
+            )(x, only_kv=True)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="attn_ln")(x).astype(self.dtype)
         attn_out, new_cache = MultiHeadAttention(
             self.n_state, self.n_head, dtype=self.dtype, name="attn"
@@ -156,7 +217,7 @@ class ResidualAttentionBlock(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="cross_attn_ln")(x).astype(self.dtype)
             cross_out, _ = MultiHeadAttention(
                 self.n_state, self.n_head, dtype=self.dtype, name="cross_attn"
-            )(h, xa=xa)
+            )(h, xa=xa, xa_kv=xa_kv)
             x = x + cross_out
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="mlp_ln")(x).astype(self.dtype)
@@ -168,18 +229,20 @@ class ResidualAttentionBlock(nn.Module):
 
 class _ScanDecBody(nn.Module):
     """nn.scan body for the decoder: one cross-attention block per step, with
-    optional per-layer KV-cache xs/ys and optional hidden collection."""
+    optional per-layer KV-cache xs/ys, optional per-layer precomputed cross
+    K/V, and optional hidden collection."""
 
     n_state: int
     n_head: int
     dtype: Any = jnp.bfloat16
     use_cache: bool = False
+    use_xa_kv: bool = False
     collect_hiddens: bool = False
 
     @nn.compact
     def __call__(self, carry, xs, audio_states, mask):
         x, cache_index = carry
-        ck, cv = xs
+        ck, cv, xk, xv = xs
         y, new_cache = ResidualAttentionBlock(
             self.n_state,
             self.n_head,
@@ -192,10 +255,31 @@ class _ScanDecBody(nn.Module):
             mask=mask,
             kv_cache=(ck, cv) if self.use_cache else None,
             cache_index=cache_index if self.use_cache else None,
+            xa_kv=(xk, xv) if self.use_xa_kv else None,
         )
         nk, nv = new_cache if new_cache is not None else (ck, cv)
         hid = y if self.collect_hiddens else jnp.zeros((1,), self.dtype)
         return (y, cache_index), (nk, nv, hid)
+
+
+class _ScanCrossKvBody(nn.Module):
+    """nn.scan body computing each decoder layer's cross-attention K/V from
+    the encoder memory (prefill-time cache; param paths match _ScanDecBody)."""
+
+    n_state: int
+    n_head: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, carry, _, audio_states):
+        kv = ResidualAttentionBlock(
+            self.n_state,
+            self.n_head,
+            cross_attention=True,
+            dtype=self.dtype,
+            name="block",
+        )(audio_states, compute_xa_kv_only=True)
+        return carry, kv
 
 
 class _ScanBlockBody(nn.Module):
@@ -282,8 +366,39 @@ class WhisperDecoder(nn.Module):
         kv_caches=None,
         cache_index=None,
         return_all_hiddens: bool = False,
+        xa_kv=None,
+        compute_cross_kv_only: bool = False,
     ):
         cfg = self.config
+        if compute_cross_kv_only:
+            # prefill: per-layer cross-attention K/V from the encoder memory
+            # (list of (B, Tk, H, Dh) pairs) — pass back in as ``xa_kv`` so
+            # decode steps skip the per-step k/v projections
+            if self.scan_layers:
+                Scan = nn.scan(
+                    _ScanCrossKvBody,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    in_axes=(0, nn.broadcast),
+                    out_axes=0,
+                    length=cfg.n_text_layer,
+                )
+                _, (xk, xv) = Scan(
+                    cfg.n_text_state, cfg.n_text_head, dtype=self.dtype,
+                    name="blocks",
+                )(0, jnp.zeros((cfg.n_text_layer, 1), self.dtype), audio_states)
+                return [(xk[i], xv[i]) for i in range(cfg.n_text_layer)]
+            return [
+                ResidualAttentionBlock(
+                    cfg.n_text_state,
+                    cfg.n_text_head,
+                    cross_attention=True,
+                    dtype=self.dtype,
+                    name=f"block_{i}",
+                )(audio_states, compute_xa_kv_only=True)
+                for i in range(cfg.n_text_layer)
+            ]
+
         embed = self.param(
             "token_embedding",
             nn.initializers.normal(0.02),
@@ -309,7 +424,7 @@ class WhisperDecoder(nn.Module):
             # incremental (works for both multi-token prefill and 1-token
             # steps): query t sits at absolute position cache_index + t and
             # may attend to cache positions <= that.
-            Tmax = kv_caches[0][0].shape[1]
+            Tmax = kv_caches[0][0].shape[-1]  # k cache is (B, H, Dh, Tmax)
             q_pos = cache_index + jnp.arange(T)[:, None]
             key_pos = jnp.arange(Tmax)[None, :]
             mask = jnp.where(key_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)[
@@ -327,30 +442,39 @@ class WhisperDecoder(nn.Module):
                 out_axes=0,
                 length=cfg.n_text_layer,
             )
+            dummy = jnp.zeros((cfg.n_text_layer, 1), self.dtype)
             if kv_caches is None:
                 # dummy stacked cache input so the scan body signature is
                 # uniform; the body ignores it when use_cache=False
-                xs = (
-                    jnp.zeros((cfg.n_text_layer, 1), self.dtype),
-                    jnp.zeros((cfg.n_text_layer, 1), self.dtype),
-                )
+                xs_cache = (dummy, dummy)
                 use_cache = False
             else:
-                xs = (
+                xs_cache = (
                     jnp.stack([c[0] for c in kv_caches]),
                     jnp.stack([c[1] for c in kv_caches]),
                 )
                 use_cache = True
+            if xa_kv is None:
+                xs_xa = (dummy, dummy)
+                use_xa_kv = False
+            else:
+                xs_xa = (
+                    jnp.stack([c[0] for c in xa_kv]),
+                    jnp.stack([c[1] for c in xa_kv]),
+                )
+                use_xa_kv = True
+            xs = (*xs_cache, *xs_xa)
             ci = jnp.asarray(0 if cache_index is None else cache_index, jnp.int32)
             (x, _), ys = Scan(
                 cfg.n_text_state,
                 cfg.n_text_head,
                 dtype=self.dtype,
                 use_cache=use_cache,
+                use_xa_kv=use_xa_kv,
                 collect_hiddens=return_all_hiddens,
                 name="blocks",
             )((x, ci), xs, audio_states, mask)
-            new_k, new_v, hid_stack = ys
+            new_k, new_v, hid_stack = ys[0], ys[1], ys[2]
             if use_cache:
                 new_caches = [
                     (new_k[i], new_v[i]) for i in range(cfg.n_text_layer)
@@ -368,15 +492,35 @@ class WhisperDecoder(nn.Module):
                     cross_attention=True,
                     dtype=self.dtype,
                     name=f"block_{i}",
-                )(x, xa=audio_states, mask=mask, kv_cache=cache_i, cache_index=cache_index)
+                )(
+                    x,
+                    xa=audio_states,
+                    mask=mask,
+                    kv_cache=cache_i,
+                    cache_index=cache_index,
+                    xa_kv=None if xa_kv is None else xa_kv[i],
+                )
                 new_caches.append(new_cache)
                 if return_all_hiddens:
                     all_hiddens.append(x)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(x)
-        logits = jnp.einsum(
-            "btd,vd->btv", x, embed, preferred_element_type=jnp.float32
-        )
+        if kv_caches is not None:
+            # incremental decode: bf16 logits matmul with f32 accumulation —
+            # halves the per-step read of the (n_vocab, D) embedding and runs
+            # at the bf16 MXU rate; argmax/sampling is insensitive to the
+            # bf16 input rounding. Teacher-forced (cache-less) logits stay
+            # f32 for activation-parity work.
+            logits = jnp.einsum(
+                "btd,vd->btv",
+                x.astype(self.dtype),
+                embed.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = jnp.einsum(
+                "btd,vd->btv", x, embed, preferred_element_type=jnp.float32
+            )
         hidden = x.astype(self.dtype)
         extras = []
         if return_all_hiddens:
@@ -417,6 +561,7 @@ class Whisper(nn.Module):
         kv_caches=None,
         cache_index=None,
         return_all_hiddens: bool = False,
+        xa_kv=None,
     ):
         return self.decoder(
             tokens,
@@ -424,4 +569,11 @@ class Whisper(nn.Module):
             kv_caches=kv_caches,
             cache_index=cache_index,
             return_all_hiddens=return_all_hiddens,
+            xa_kv=xa_kv,
         )
+
+    def precompute_cross_kv(self, audio_states):
+        """Per-layer cross-attention (k, v) pairs from encoder states —
+        compute once at prefill and pass to every ``decode`` call via
+        ``xa_kv`` (the memory never changes across decode steps)."""
+        return self.decoder(None, audio_states, compute_cross_kv_only=True)

@@ -71,7 +71,16 @@ def main(argv=None) -> int:
     p.add_argument("--size", default=None, help="config name (tiny..large-v3-turbo)")
     p.add_argument("--seconds", type=float, default=30.0)
     p.add_argument("--n-clips", type=int, default=6)
+    p.add_argument(
+        "--backend", default="cpu", choices=("cpu", "tpu"),
+        help="cpu (default) is the hermetic parity reference; note this "
+        "environment's TPU plugin overrides the JAX_PLATFORMS env var, so "
+        "the platform must be pinned through jax.config",
+    )
     args = p.parse_args(argv)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", args.backend)
     if not args.hf and not args.openai:
         print(json.dumps({
             "status": "NO_WEIGHTS",
@@ -80,8 +89,15 @@ def main(argv=None) -> int:
         }))
         return 2
 
+    import jax
     import jax.numpy as jnp
     import torch
+
+    # f32 ladder rungs need true-f32 matmuls: JAX's DEFAULT matmul precision
+    # runs f32 dots as bf16 passes (measured: 0.23% encoder drift vs a 1e-6
+    # f64 truth; torch f32 sits at 1.4e-6). The bf16 rungs measure the
+    # production dtype separately.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from wealy_tpu.audio.mel import N_SAMPLES, log_mel_spectrogram
     from wealy_tpu.models.whisper import (

@@ -1,0 +1,168 @@
+"""Synthetic SHS-shaped end-to-end run: extract-store -> train -> evaluate,
+publishing a MAP/MR1 number from `cli evaluate` (VERDICT round 1 item 1's
+measurable half while real Whisper weights remain unobtainable in-env).
+
+The corpus uses the REAL SHS100K split protocol — the tab-separated
+SHS100K-{TRAIN,VAL,TEST} files shipped in the reference snapshot
+(/root/reference/datasets/shs, 87,091/10,884/10,547 rows) — so clique sizes,
+split overlap handling, and the 10.5K-query test evaluation are production-
+shaped. Embeddings are synthetic (clique center + per-version noise + a
+global nuisance direction, variable sequence lengths), with a reduced channel
+dim for disk practicality; MAP/MR1 here measures the PIPELINE (ids, filters,
+chunking, training, streaming retrieval), not the paper's model quality.
+
+Usage: python -m benchmarks.synthetic_e2e [--train-cliques 800]
+       [--noise 0.55] [--dim 64] [--steps 300] [--workdir DIR]
+Prints one JSON line with train/eval wall-clock and the evaluate metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REF_SPLITS = Path("/root/reference/datasets/shs")
+
+
+def build_corpus(workdir: Path, dim: int, noise: float, train_cliques: int,
+                 seed: int = 0) -> dict:
+    """Synthesize shs_data.csv + hs_last_seq.npz store for the real splits."""
+    import pandas as pd
+
+    from wealy_tpu.data.embedding_store import EmbeddingStore
+
+    rng = np.random.default_rng(seed)
+    splits = {}
+    for split, fname in (("train", "SHS100K-TRAIN"), ("val", "SHS100K-VAL"),
+                         ("test", "SHS100K-TEST")):
+        df = pd.read_csv(REF_SPLITS / fname, sep="\t", header=None,
+                         names=["set_id", "ver_id"], usecols=[0, 1])
+        splits[split] = df
+
+    # subset train for tractability; keep val/test complete
+    train_ids = splits["train"]["set_id"].unique()[:train_cliques]
+    splits["train"] = splits["train"][splits["train"]["set_id"].isin(train_ids)]
+
+    all_rows = pd.concat(splits.values(), ignore_index=True)
+    shs_dir = workdir / "shs"
+    shs_dir.mkdir(parents=True, exist_ok=True)
+    all_rows.to_csv(shs_dir / "shs_data.csv", index=False)
+    splits_dir = shs_dir / "splits"
+    splits_dir.mkdir(exist_ok=True)
+    for split, fname in (("train", "SHS100K-TRAIN"), ("val", "SHS100K-VAL"),
+                         ("test", "SHS100K-TEST")):
+        splits[split].to_csv(splits_dir / fname, sep="\t", header=False, index=False)
+
+    # clique-structured synthetic embeddings
+    store = EmbeddingStore(workdir / "hs", "shs")
+    centers: dict[int, np.ndarray] = {}
+    n_written = 0
+    for _, row in all_rows.iterrows():
+        c = int(row["set_id"])
+        if c not in centers:
+            centers[c] = rng.normal(size=(dim,)).astype(np.float32)
+        T = int(rng.integers(40, 120))
+        emb = (
+            centers[c][None]
+            + noise * rng.normal(size=(T, dim)).astype(np.float32)
+        )
+        key = f"{c}-{int(row['ver_id'])}"
+        store.save(key, "hs_last_seq.npz", embeddings=emb)
+        n_written += 1
+    return {
+        "n_versions": n_written,
+        "n_test": len(splits["test"]),
+        "shs_data": str(shs_dir / "shs_data.csv"),
+        "splits_dir": str(splits_dir),
+        "hs": str(workdir / "hs"),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--train-cliques", type=int, default=800)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--noise", type=float, default=0.55)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--chunk-size", type=int, default=48)
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--keep", action="store_true")
+    args = p.parse_args(argv)
+
+    workdir = Path(args.workdir) if args.workdir else Path(tempfile.mkdtemp(prefix="wealy_e2e_"))
+    workdir.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+    info = build_corpus(workdir, args.dim, args.noise, args.train_cliques)
+    t_corpus = time.perf_counter() - t0
+
+    conf = {
+        "path": {
+            "shs_data": info["shs_data"],
+            "shs_splits": info["splits_dir"],
+            "hidden_states": info["hs"],
+            "cache": str(workdir / "cache"),
+            "checkpoints": str(workdir / "ckpt"),
+        },
+        "data": {
+            "dataset_name": "shs",
+            "embedding_type": "last_hidden_states",
+            "embedding_format": "concat",
+            "chunk_size": args.chunk_size,
+        },
+        "model": {"name": "whisper", "zdim": 64},
+        "train": {
+            "loss": "clews", "batch_size": 32, "lr": 1e-3,
+            "warmup_steps": 20, "max_steps": args.steps, "log_every": 0,
+            "checkpoint_every": 10_000, "eval_every": 10_000,
+        },
+    }
+    cpath = workdir / "conf.json"
+    cpath.write_text(json.dumps(conf))
+
+    from wealy_tpu.cli.main import main as cli_main
+
+    import contextlib
+    import io
+
+    t0 = time.perf_counter()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["train", "--config", str(cpath), "--fresh"])
+    assert rc == 0, buf.getvalue()[-2000:]
+    t_train = time.perf_counter() - t0
+    train_out = json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    t0 = time.perf_counter()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main([
+            "evaluate", "--config", str(cpath), "--split", "test",
+            "--streaming", "--song-group", "512", "--encode-slab", "512",
+        ])
+    assert rc == 0, buf.getvalue()[-2000:]
+    t_eval = time.perf_counter() - t0
+    metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    print(json.dumps({
+        "corpus": {"n_versions": info["n_versions"], "n_test": info["n_test"],
+                   "dim": args.dim, "noise": args.noise,
+                   "train_cliques": args.train_cliques, "build_s": round(t_corpus, 1)},
+        "train": {"steps": train_out.get("final_step"),
+                  "final_loss": train_out.get("final_loss"),
+                  "wall_s": round(t_train, 1)},
+        "evaluate": dict(metrics, wall_s=round(t_eval, 1)),
+    }))
+    if not args.keep and args.workdir is None:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -97,3 +97,27 @@ class TestOpenAIConverter:
         hidden, logits = model.apply({"params": params}, mel, tokens)
         assert hidden.shape == (1, 3, 64)
         assert np.isfinite(np.asarray(hidden)).all()
+
+
+class TestStoredPositions:
+    """The encoder position table is a param filled from the checkpoint's
+    stored embed_positions (byte-faithful real-weight parity; the old
+    device-computed sinusoids drifted ~4e-3 on TPU transcendentals). The
+    use-stored-table path is exercised end-to-end by
+    benchmarks/parity_harness.py (encoder_f32_rel 5.7e-7 on an HF fixture)."""
+
+    def test_positions_param_defaults_to_exact_sinusoids(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from wealy_tpu.models.whisper import WHISPER_CONFIGS
+        from wealy_tpu.models.whisper.model import WhisperEncoder, sinusoids
+
+        cfg = WHISPER_CONFIGS["tiny"]
+        enc = WhisperEncoder(cfg, dtype=jnp.float32)
+        params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, cfg.n_mels, 3000)))["params"]
+        np.testing.assert_array_equal(
+            np.asarray(params["positions"]),
+            sinusoids(cfg.n_audio_ctx, cfg.n_audio_state),
+        )

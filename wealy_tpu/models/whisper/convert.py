@@ -12,6 +12,7 @@ from typing import Mapping
 import numpy as np
 
 from wealy_tpu.models.whisper.config import WhisperConfig
+from wealy_tpu.models.whisper.model import sinusoids
 
 
 def _np(x) -> np.ndarray:
@@ -116,6 +117,13 @@ def params_from_openai_state_dict(
             "kernel": _np(sd["encoder.conv2.weight"]).transpose(2, 1, 0),
             "bias": _np(sd["encoder.conv2.bias"]),
         },
+        # openai checkpoints register the sinusoid table as a buffer; prefer
+        # the stored value, else the exact host-computed table
+        "positions": (
+            _np(sd["encoder.positional_embedding"])
+            if "encoder.positional_embedding" in sd
+            else sinusoids(config.n_audio_ctx, config.n_audio_state)
+        ),
         "ln_post": _ln(sd, "encoder.ln_post"),
     }
     for i in range(config.n_audio_layer):
@@ -162,6 +170,13 @@ def params_from_hf_state_dict(
             "kernel": _np(sd["encoder.conv2.weight"]).transpose(2, 1, 0),
             "bias": _np(sd["encoder.conv2.bias"]),
         },
+        # the checkpoint's stored table when present (byte-faithful), else
+        # the exact host-computed sinusoids
+        "positions": (
+            _np(sd["encoder.embed_positions.weight"])
+            if "encoder.embed_positions.weight" in sd
+            else sinusoids(config.n_audio_ctx, config.n_audio_state)
+        ),
         "ln_post": _ln(sd, "encoder.layer_norm"),
     }
     for i in range(config.n_audio_layer):

@@ -325,7 +325,17 @@ class WhisperEncoder(nn.Module):
         )(x)
         x = nn.gelu(x, approximate=False)  # (B, 1500, D)
 
-        pos = sinusoids_jnp(cfg.n_audio_ctx, cfg.n_audio_state)
+        # Positions as a PARAM, not traced transcendentals: params ship as
+        # jit arguments (no inlined-constant 413 compile blowups like the old
+        # device-computed sinusoids_jnp), the init value is the exact host
+        # numpy table, and the converters overwrite it with the checkpoint's
+        # stored embed_positions for byte-faithful real-weight parity (TPU
+        # exp/sin computed the table ~4e-3 off; numpy matches torch ~1e-7).
+        pos = self.param(
+            "positions",
+            lambda _key, shape: sinusoids(shape[0], shape[1]),
+            (cfg.n_audio_ctx, cfg.n_audio_state),
+        )
         x = x + pos[None, : x.shape[1]].astype(self.dtype)
 
         if self.scan_layers:

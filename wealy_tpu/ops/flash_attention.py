@@ -56,9 +56,11 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
     s = jnp.where(col < seq_len, jnp.minimum(s, _SCORE_CLAMP), _NEG_INF)
     p = jnp.exp(s - _SHIFT)
     l = jnp.sum(p, axis=1, keepdims=True)
-    p = (p / l).astype(v_ref.dtype)
-    o = jax.lax.dot(p, v_ref[0], preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    # defer the 1/l normalization to AFTER the V matmul: dividing the
+    # (block_q, d) output instead of the (block_q, seq) weights removes one
+    # full pass over the score tile (the kernel is VMEM-traffic-bound)
+    o = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 def _reference_mha(q, k, v, scale):

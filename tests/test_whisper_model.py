@@ -375,3 +375,56 @@ class TestCrossKvCache:
         L = int(out["lengths"][0])
         got = np.asarray(out["tokens"])[0, : L + 1].tolist()
         assert got == toks[: L + 1]
+
+
+class TestF8CrossKv:
+    def test_f8_storage_decodes_close(self):
+        """Opt-in float8 cross-KV storage: teacher-forced decode stays within
+        a few percent of the bf16 path (the -28%%-per-step bandwidth mode)."""
+        cfg = WhisperConfig(
+            n_mels=8, n_audio_ctx=16, n_audio_state=32, n_audio_head=2,
+            n_audio_layer=1, n_vocab=64, n_text_ctx=12, n_text_state=32,
+            n_text_head=2, n_text_layer=2,
+        )
+        model = Whisper(cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(rng.normal(size=(2, cfg.n_mels, 32)).astype(np.float32))
+        tokens = jnp.asarray(rng.integers(0, 64, size=(2, 6)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), mel, tokens)["params"]
+        states = model.apply({"params": params}, mel, method=Whisper.encode)
+
+        from wealy_tpu.models.whisper.generate import init_kv_caches
+
+        xa = model.apply({"params": params}, states, method=Whisper.precompute_cross_kv)
+        xa_f8 = [(k.astype(jnp.float8_e4m3fn), v.astype(jnp.float8_e4m3fn)) for k, v in xa]
+        caches = init_kv_caches(cfg, 2, cfg.n_text_ctx, dtype=jnp.float32)
+        ref_h, ref_l, _ = model.apply(
+            {"params": params}, tokens, states,
+            kv_caches=caches, cache_index=0, xa_kv=xa, method=Whisper.decode,
+        )
+        got_h, got_l, _ = model.apply(
+            {"params": params}, tokens, states,
+            kv_caches=caches, cache_index=0, xa_kv=xa_f8, method=Whisper.decode,
+        )
+        rel = float(jnp.abs(got_h - ref_h).max() / (jnp.abs(ref_h).max() + 1e-9))
+        assert rel < 0.06, rel
+
+    def test_greedy_decode_accepts_cross_kv_dtype(self):
+        from wealy_tpu.models.whisper.generate import default_prompt, greedy_decode
+
+        cfg = WhisperConfig(
+            n_mels=8, n_audio_ctx=16, n_audio_state=32, n_audio_head=2,
+            n_audio_layer=1, n_vocab=51865, n_text_ctx=24, n_text_state=32,
+            n_text_head=2, n_text_layer=1,
+        )
+        model = Whisper(cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray(rng.normal(size=(1, cfg.n_mels, 32)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(1), mel, jnp.zeros((1, 4), jnp.int32))["params"]
+        states = model.apply({"params": params}, mel, method=Whisper.encode)
+        out = greedy_decode(
+            model, params, states, cfg, prompt=default_prompt(cfg, language=0),
+            max_len=10, cross_kv_dtype=jnp.float8_e4m3fn,
+        )
+        assert out["tokens"].shape == (1, 10)
+        assert bool(jnp.isfinite(out["sum_logprob"]).all())

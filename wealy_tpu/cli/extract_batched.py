@@ -268,9 +268,16 @@ def make_decoder_embed_fn(
     hf_checkpoint: Optional[str] = None,
     language: Optional[int] = 0,
     max_len: int = 224,
+    cross_kv_f8: bool = False,
 ):
     """decode_fn for :func:`extract_split_batched_decoder`: mel -> encoder ->
-    greedy decode -> (last hidden states, lengths)."""
+    greedy decode -> (last hidden states, lengths).
+
+    ``cross_kv_f8``: store the prefill cross-attention K/V in float8_e4m3 —
+    -28% per decode step at B=128 (bandwidth-bound re-reads), ~1.4%
+    hidden-state perturbation (BENCH_NOTES round 2). Opt-in."""
+    import jax.numpy as jnp
+
     from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas
     from wealy_tpu.cli.extract import load_whisper_model
     from wealy_tpu.models.whisper.generate import default_prompt, greedy_decode
@@ -278,12 +285,16 @@ def make_decoder_embed_fn(
 
     model, params, wcfg = load_whisper_model(config, hf_checkpoint)
     prompt = default_prompt(wcfg, language=language)
+    kv_dtype = jnp.float8_e4m3fn if cross_kv_f8 else None
 
     @jax.jit
     def _decode(params, audio):
         mel = log_mel_spectrogram_pallas(audio, n_mels=wcfg.n_mels)
         enc = model.apply({"params": params}, mel, method=Whisper.encode)
-        out = greedy_decode(model, params, enc, wcfg, prompt=prompt, max_len=max_len)
+        out = greedy_decode(
+            model, params, enc, wcfg, prompt=prompt, max_len=max_len,
+            cross_kv_dtype=kv_dtype,
+        )
         return out["hidden"], out["lengths"]
 
     return lambda audio: _decode(params, audio)

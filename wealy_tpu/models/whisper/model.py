@@ -188,6 +188,25 @@ class MultiHeadAttention(nn.Module):
         return out, new_cache
 
 
+class _DenseParams(nn.Module):
+    """Declares kernel/bias params exactly like nn.Dense (same names, dtypes,
+    initializers) and returns them raw — used where a fused kernel needs the
+    weights directly while keeping the param tree checkpoint-identical."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ResidualAttentionBlock(nn.Module):
     """Pre-LN attention + MLP block."""
 
@@ -227,9 +246,24 @@ class ResidualAttentionBlock(nn.Module):
             x = x + cross_out
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="mlp_ln")(x).astype(self.dtype)
-        h = nn.Dense(4 * self.n_state, dtype=self.dtype, name="mlp_fc1")(h)
+        # MLP params declared with nn.Dense-identical tree paths
+        # ("mlp_fc{1,2}/{kernel,bias}", f32, lecun_normal/zeros) so both code
+        # paths below — and every converter/checkpoint — see the same tree.
+        w1, b1 = _DenseParams(4 * self.n_state, name="mlp_fc1")(self.n_state)
+        w2, b2 = _DenseParams(self.n_state, name="mlp_fc2")(4 * self.n_state)
+        if self.dtype == jnp.bfloat16 and h.shape[1] >= 256:
+            # fused Pallas MLP (weights VMEM-resident, no HBM gelu
+            # intermediate): +2% at the layer level with the round-2
+            # attention (benchmarks/bench_layer_mlp.py). bf16-only: its
+            # in-kernel A&S erf approximation (max err 1.5e-7) is far below
+            # bf16 noise but would show up in f32 activation-parity runs.
+            from wealy_tpu.ops.fused_mlp import fused_mlp
+
+            h = fused_mlp(h, w1.astype(self.dtype), b1, w2.astype(self.dtype), b2)
+            return x + h.astype(self.dtype), new_cache
+        h = jnp.dot(h, w1.astype(self.dtype)) + b1.astype(self.dtype)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.n_state, dtype=self.dtype, name="mlp_fc2")(h)
+        h = jnp.dot(h, w2.astype(self.dtype)) + b2.astype(self.dtype)
         return x + h, new_cache
 
 

@@ -190,6 +190,26 @@ class TestFit:
         assert np.mean(losses[-10:]) < np.mean(losses[:10]), (
             np.mean(losses[:10]), np.mean(losses[-10:]))
 
+    def test_empty_epoch_raises(self):
+        """batch_size larger than the dataset yields zero batches per epoch
+        (drop_last); fit() must raise instead of spinning the epoch loop
+        forever (regression: the train CLI hung on a 6-version fixture with
+        the default batch_size=32)."""
+        md = _toy_md()
+        sampler = CliqueSampler(md, "train", _toy_loader(), n_per_class=2, seed=0)
+        model = ProjectionHead(zdim=8, hidden=(16,))
+        state = create_train_state(
+            model,
+            (jnp.zeros((8, 12, 16)), jnp.ones((8, 12), bool)),
+            tx=make_optimizer(lr=3e-3, warmup_steps=1, max_steps=10),
+        )
+        step = make_train_step(model, clews_loss)
+        with pytest.raises(ValueError, match="no batches"):
+            fit(
+                state, step, sampler,
+                batch_size=10 * len(sampler.versions), chunk_size=12, max_steps=5,
+            )
+
     def test_mesh_aware_fit(self):
         """fit(mesh=...) shards every batch on the data axis and trains
         multi-device with zero caller-side input wiring (VERDICT round 1

@@ -505,8 +505,28 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _apply_platform_env() -> None:
+    """Honor ``JAX_PLATFORMS`` even where a pre-registered accelerator plugin
+    overrides the env var during backend discovery (observed with tunneled
+    TPU plugins): re-assert the requested platform through jax.config, which
+    is applied reliably. No-op when the env var is unset or jax is already
+    initialized on the requested platform."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass  # backend already initialized; jax will raise later if truly off
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _apply_platform_env()
     return args.fn(args)
 
 

@@ -129,7 +129,9 @@ def fit(
             depth=prefetch_depth,
             transform=produce,
         )
+        n_batches = 0
         for batch in batches:
+            n_batches += 1
             state, logdict = train_step(state, batch)
             step += 1
             writer.write(step, logdict)
@@ -141,5 +143,14 @@ def fit(
             if step >= max_steps:
                 done = True
                 break
+        if n_batches == 0 and not done:
+            # an empty epoch would otherwise spin this loop forever
+            # (drop_last semantics: a dataset smaller than batch_size yields
+            # zero batches) — fail loudly instead
+            raise ValueError(
+                f"sampler produced no batches: {len(sampler.versions)} items "
+                f"with batch_size={batch_size} (incomplete batches are "
+                f"dropped). Reduce train.batch_size or check dataset filters."
+            )
         epoch += 1
     return state, writer

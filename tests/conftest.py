@@ -12,7 +12,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in _flags:
+    # Cap codegen at AVX2: with AVX512, XLA:CPU tags compiled executables
+    # with pseudo-features (+prefer-no-scatter/+prefer-no-gather) that the
+    # host feature check never reports, so every persistent-cache load is
+    # rejected and recompiled. Capped at AVX2 the cache actually hits
+    # (~30% faster repeat runs); these tests are compile-bound, not
+    # vector-width-bound.
+    _flags = (_flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
@@ -24,7 +33,10 @@ jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the suite is compile-dominated on the single
 # test CPU; caching compiled executables across runs cuts repeat wall-clock
 # drastically (first run pays full price).
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache")
+_cache_dir = os.environ.get(
+    "WEALY_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache"),
+)
 try:
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

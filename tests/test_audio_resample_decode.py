@@ -52,10 +52,13 @@ class TestResample:
         assert np.abs(y[1000:-1000] - want[1000:-1000]).max() < 5e-3
 
     def test_batched(self):
-        x = np.random.default_rng(0).normal(size=(3, 44100)).astype(np.float32)
-        y = np.asarray(resample(x, 44100, 16000))
+        # batched == single is a layout property, not a ratio property: use
+        # the cheap 3:1 ratio (the 160:441 polyphase at 44.1k costs ~9 s of
+        # compile on the 1-core CI box and is covered by the tests above)
+        x = np.random.default_rng(0).normal(size=(3, 48000)).astype(np.float32)
+        y = np.asarray(resample(x, 48000, 16000))
         assert y.shape == (3, 16000)
-        y0 = np.asarray(resample(x[0], 44100, 16000))
+        y0 = np.asarray(resample(x[0], 48000, 16000))
         np.testing.assert_allclose(y[0], y0, rtol=1e-5, atol=1e-6)
 
 

@@ -20,11 +20,12 @@ def test_losses_vmap_over_batches(rng):
     def one(z):
         return clews_loss(labels, idx, z)[0]
 
-    losses = jax.vmap(one)(jnp.asarray(zs))
+    losses = jax.jit(jax.vmap(one))(jnp.asarray(zs))
     assert losses.shape == (5,)
+    one_j = jax.jit(one)  # eager per-primitive dispatch is slow on the CI box
     for i in range(5):
         np.testing.assert_allclose(
-            float(losses[i]), float(one(zs[i])), rtol=1e-5
+            float(losses[i]), float(one_j(zs[i])), rtol=1e-5
         )
 
 

@@ -87,8 +87,12 @@ class TestGlobalBatchLoss:
     def test_gradients_match(self, mesh, rng):
         labels, idx, z = self._batch(rng)
         gl = global_batch_loss(clews_loss, mesh)
-        g_global = jax.grad(lambda z: gl(labels, idx, z)[0])(jnp.asarray(z))
-        g_single = jax.grad(lambda z: clews_loss(labels, idx, z)[0])(jnp.asarray(z))
+        # jit the grads: un-jitted shard_map runs in eager impl mode, which
+        # dispatches every primitive per-device (~10 s on the 1-core CI box)
+        g_global = jax.jit(jax.grad(lambda z: gl(labels, idx, z)[0]))(jnp.asarray(z))
+        g_single = jax.jit(jax.grad(lambda z: clews_loss(labels, idx, z)[0]))(
+            jnp.asarray(z)
+        )
         np.testing.assert_allclose(
             np.asarray(g_global), np.asarray(g_single), rtol=1e-4, atol=1e-6
         )

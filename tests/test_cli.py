@@ -214,6 +214,25 @@ class TestEvaluateMultimodalCLI:
         assert 0.0 <= out["MAP"] <= 1.0 and out["n_queries"] == 4
 
 
+class TestWealyTestModeCLI:
+    def test_test_mode_chunk_sets(self, project, capsys):
+        """--test-mode: every WEALY chunk embedded with its song's CLEWS
+        context, per-song z sets scored with distance_tensor_redux (the
+        reference handle_wealy_test_mode contract)."""
+        tmp_path, cpath, _ = project
+        conf = json.loads(cpath.read_text())
+        conf["model"]["name"] = "wealy-clews"
+        conf["model"]["zdim"] = 16
+        conf["path"]["checkpoints"] = str(tmp_path / "nockpt_tm")
+        cpath2 = tmp_path / "conf_tm.json"
+        cpath2.write_text(json.dumps(conf))
+        rc = main(["evaluate", "--config", str(cpath2), "--split", "test",
+                   "--test-mode", "--redux", "smean", "--encode-slab", "4"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["n_queries"] == 4 and 0.0 <= out["MAP"] <= 1.0
+
+
 class TestWealySongEval:
     def test_chunk_set_scoring(self):
         from wealy_tpu.eval.wealy import evaluate_wealy_songs

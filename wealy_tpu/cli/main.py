@@ -293,6 +293,8 @@ def cmd_evaluate(args) -> int:
 
     config = _load_config(args.config)
     model, sig = build_model(config.model.name, zdim=config.model.zdim)
+    if sig == "wealy" and args.test_mode:
+        return _evaluate_wealy_test_mode(args, config, model)
     if sig != "single":
         return _evaluate_multimodal(args, config, model, sig)
     ds = EmbeddingDataset(config, args.split, seed=0)
@@ -373,6 +375,73 @@ def cmd_evaluate(args) -> int:
             sets, set_mask, labels, version_ids=ids, redux=args.redux
         )
         metrics.pop("_dist")
+    print(json.dumps(metrics))
+    return 0
+
+
+def _evaluate_wealy_test_mode(args, config, model) -> int:
+    """WEALY test-mode evaluation: ALL chunks per song (the reference's
+    handle_wealy_test_mode contract, collate_functions.py:54-88) -> the
+    fusion model embeds every (chunk, song-CLEWS) pair -> per-song z chunk
+    sets scored with distance_tensor_redux (SURVEY.md §3.4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wealy_tpu.data.collate_factory import wealy_test_mode_items
+    from wealy_tpu.data.multimodal import WealyClewsDataset
+    from wealy_tpu.eval.retrieval import rank_metrics, slabbed_apply, song_distance_matrix
+    from wealy_tpu.train.checkpoint import CheckpointManager
+
+    ds = WealyClewsDataset(config, args.split, n_per_class=1, seed=0)
+    songs = wealy_test_mode_items([ds[i] for i in range(len(ds))])
+
+    # flatten: one row per (song, chunk), CLEWS context repeated per chunk
+    rows_w, rows_fc, rows_cm, song_of = [], [], [], []
+    for si, s in enumerate(songs):
+        for c in np.atleast_2d(np.asarray(s["wealy_all_chunks"], np.float32)):
+            rows_w.append(c)
+            rows_fc.append(np.asarray(s["full_clews"], np.float32))
+            rows_cm.append(np.asarray(s["clews_mask"], bool))
+            song_of.append(si)
+    rows_w = np.stack(rows_w)
+    rows_fc = np.stack(rows_fc)
+    rows_cm = np.stack(rows_cm)
+    song_of = np.asarray(song_of)
+
+    params = None
+    if args.checkpoint or config.path.checkpoints:
+        mgr = CheckpointManager(args.checkpoint or config.path.checkpoints)
+        if mgr.latest_step() is not None:
+            params = mgr.restore()["params"]
+    if params is None:
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(rows_w[:2]),
+            jnp.asarray(rows_fc[:2]),
+            ~jnp.asarray(rows_cm[:2]),
+        )["params"]
+
+    embed = jax.jit(
+        lambda w, fc, cm: model.apply({"params": params}, w, fc, ~cm)
+    )
+    z = slabbed_apply(embed, rows_w, rows_fc, rows_cm, slab_size=args.encode_slab)
+
+    # regroup chunk z's into per-song sets, pad to the max chunk count
+    S = len(songs)
+    counts = np.bincount(song_of, minlength=S)
+    max_chunks = int(counts.max())
+    sets = np.zeros((S, max_chunks, z.shape[-1]), np.float32)
+    mask = np.zeros((S, max_chunks), bool)
+    slot = np.zeros(S, np.int64)
+    for row, si in enumerate(song_of):
+        sets[si, slot[si]] = z[row]
+        mask[si, slot[si]] = True
+        slot[si] += 1
+    labels = np.array([s["clique_id"] for s in songs])
+    ids = np.array([s["version_id"] for s in songs])
+    d = song_distance_matrix(sets, mask, sets, mask, mode="cos", redux=args.redux)
+    metrics = rank_metrics(d, labels, labels, query_idx=ids, cand_idx=ids, topk=(10,))
     print(json.dumps(metrics))
     return 0
 
@@ -500,6 +569,12 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument(
         "--encode-slab", type=int, default=256,
         help="chunks per encoder jit call (fixed shape, one compile)",
+    )
+    ev.add_argument(
+        "--test-mode",
+        action="store_true",
+        help="WEALY models: embed ALL chunks per song (reference "
+        "handle_wealy_test_mode) and score chunk sets with --redux",
     )
     ev.set_defaults(fn=cmd_evaluate)
     return p

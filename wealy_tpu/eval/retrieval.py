@@ -84,30 +84,30 @@ def rank_metrics(
 
 def slabbed_apply(
     apply_fn,
-    embeddings: np.ndarray,
-    masks: np.ndarray,
+    *arrays: np.ndarray,
     slab_size: int = 256,
 ) -> np.ndarray:
-    """Run ``apply_fn(emb_slab, mask_slab) -> z_slab`` over a flat chunk batch
-    in fixed-size slabs (final slab zero-padded), so the encoder jit compiles
-    ONCE for (slab_size, L, C) and host memory never holds more than one
-    slab's activations. This is the corpus-scale evaluate path: the reference
-    eval (SURVEY.md §3.4) would push the whole overlapping-chunk tensor
-    through the model at once, which only works for toy corpora.
+    """Run ``apply_fn(*slabs) -> z_slab`` over flat batches (all sharing a
+    leading dim) in fixed-size slabs (final slab zero-padded), so the encoder
+    jit compiles ONCE for the slab shape and host memory never holds more
+    than one slab's activations. This is the corpus-scale evaluate path: the
+    reference eval (SURVEY.md §3.4) would push the whole overlapping-chunk
+    tensor through the model at once, which only works for toy corpora.
     """
     import jax.numpy as jnp
 
-    n = embeddings.shape[0]
+    n = arrays[0].shape[0]
     slab_size = min(slab_size, max(n, 1))
     outs = []
     for s in range(0, n, slab_size):
-        e = embeddings[s : s + slab_size]
-        m = masks[s : s + slab_size]
-        pad = slab_size - e.shape[0]
+        slabs = [a[s : s + slab_size] for a in arrays]
+        pad = slab_size - slabs[0].shape[0]
         if pad:
-            e = np.concatenate([e, np.zeros((pad, *e.shape[1:]), e.dtype)])
-            m = np.concatenate([m, np.zeros((pad, *m.shape[1:]), m.dtype)])
-        z = np.asarray(apply_fn(jnp.asarray(e), jnp.asarray(m)))
+            slabs = [
+                np.concatenate([a, np.zeros((pad, *a.shape[1:]), a.dtype)])
+                for a in slabs
+            ]
+        z = np.asarray(apply_fn(*(jnp.asarray(a) for a in slabs)))
         outs.append(z[: slab_size - pad] if pad else z)
     if not outs:
         return np.zeros((0, 0), np.float32)

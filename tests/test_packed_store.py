@@ -1,0 +1,158 @@
+"""Packed memory-mapped embedding store (SURVEY.md §5.4 shard-file store):
+pack/read roundtrip, per-version fallback, dataset fast-path wiring, and the
+pack CLI."""
+
+import json
+
+import numpy as np
+import pytest
+
+from wealy_tpu.data.embedding_store import EmbeddingStore
+from wealy_tpu.data.packed_store import PackedStore, pack_from_store
+
+
+@pytest.fixture
+def store_tree(tmp_path):
+    store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+    rng = np.random.default_rng(0)
+    arrays = {}
+    for vid in ("100", "101", "200"):
+        arr = rng.normal(size=(int(rng.integers(3, 9)), 16)).astype(np.float32)
+        store.save(vid, "hs_last_seq.npz", embeddings=arr)
+        arrays[vid] = arr.astype(np.float16).astype(np.float32)  # disk dtype
+    return store, arrays, tmp_path / "hs"
+
+
+class TestPackRoundtrip:
+    def test_matches_store_loads(self, store_tree):
+        store, arrays, root = store_tree
+        packed = pack_from_store(store, list(arrays), "hs_last_seq.npz", root)
+        assert packed.available and len(packed) == 3
+        for vid, want in arrays.items():
+            got = packed.load(vid)
+            assert got.dtype == np.float32
+            np.testing.assert_array_equal(got, want)
+
+    def test_reader_reopens_from_disk(self, store_tree):
+        store, arrays, root = store_tree
+        pack_from_store(store, list(arrays), "hs_last_seq.npz", root)
+        fresh = PackedStore(root, "hs_last_seq")
+        assert fresh.available
+        np.testing.assert_array_equal(fresh.load("200"), arrays["200"])
+
+    def test_missing_version_returns_none(self, store_tree):
+        store, arrays, root = store_tree
+        packed = pack_from_store(store, list(arrays), "hs_last_seq.npz", root)
+        assert packed.load("999") is None
+        assert "999" not in packed
+
+    def test_skips_versions_without_files(self, store_tree):
+        store, arrays, root = store_tree
+        packed = pack_from_store(
+            store, list(arrays) + ["missing-1"], "hs_last_seq.npz", root
+        )
+        assert len(packed) == 3
+
+    def test_inconsistent_dim_raises(self, tmp_path):
+        rows = [("a", np.zeros((2, 8))), ("b", np.zeros((2, 12)))]
+        with pytest.raises(ValueError, match="inconsistent"):
+            PackedStore.pack(tmp_path, "k", rows)
+
+    def test_unpacked_root_not_available(self, tmp_path):
+        assert not PackedStore(tmp_path, "hs_last_seq").available
+
+
+class TestDatasetFastPath:
+    def test_dataset_prefers_pack(self, tmp_path):
+        """EmbeddingDataset reads through the pack when present; values match
+        the per-version files (same fp16 disk dtype both ways)."""
+        import pandas as pd
+
+        from wealy_tpu.data.dataset import EmbeddingDataset
+        from wealy_tpu.train.config import Config
+
+        lc = tmp_path / "lc"
+        lc.mkdir()
+        rows = {
+            "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A"),
+                      (2, 200, False, "o", "B"), (2, 201, True, "c", "B")],
+            "val": [(3, 300, False, "o", "C"), (3, 301, True, "c", "C")],
+            "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D")],
+        }
+        for split, data in rows.items():
+            pd.DataFrame(
+                data,
+                columns=["original_id", "id", "is_cover", "song_text_type", "label"],
+            ).to_csv(lc / f"{split}_no_dup.csv", index=False)
+        store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+        rng = np.random.default_rng(1)
+        for data in rows.values():
+            for r in data:
+                store.save(
+                    str(r[1]), "hs_last_seq.npz",
+                    embeddings=rng.normal(size=(5, 8)).astype(np.float32),
+                )
+        conf = Config.from_dict(
+            {
+                "path": {"lyric_covers_data": str(lc),
+                         "hidden_states": str(tmp_path / "hs"),
+                         "cache": str(tmp_path / "cache")},
+                "data": {"dataset_name": "lyric-covers",
+                         "embedding_type": "last_hidden_states",
+                         "embedding_format": "concat"},
+            }
+        )
+        ds_plain = EmbeddingDataset(conf, "train", seed=0)
+        assert ds_plain.packed is None
+        want = {v: ds_plain.load_embedding(v) for v in ds_plain.sampler.versions}
+
+        pack_from_store(
+            store, sorted(want), "hs_last_seq.npz", tmp_path / "hs"
+        )
+        ds_packed = EmbeddingDataset(conf, "train", seed=0)
+        assert ds_packed.packed is not None
+        for v, arr in want.items():
+            np.testing.assert_array_equal(ds_packed.load_embedding(v), arr)
+
+
+class TestPackCLI:
+    def test_pack_command(self, tmp_path, capsys):
+        import pandas as pd
+
+        from wealy_tpu.cli.main import main
+
+        lc = tmp_path / "lc"
+        lc.mkdir()
+        rows = {
+            "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A")],
+            "val": [(3, 300, False, "o", "C"), (3, 301, True, "c", "C")],
+            "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D")],
+        }
+        for split, data in rows.items():
+            pd.DataFrame(
+                data,
+                columns=["original_id", "id", "is_cover", "song_text_type", "label"],
+            ).to_csv(lc / f"{split}_no_dup.csv", index=False)
+        store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+        rng = np.random.default_rng(2)
+        for data in rows.values():
+            for r in data:
+                store.save(
+                    str(r[1]), "hs_last_seq.npz",
+                    embeddings=rng.normal(size=(4, 8)).astype(np.float32),
+                )
+        conf = {
+            "path": {"lyric_covers_data": str(lc),
+                     "hidden_states": str(tmp_path / "hs"),
+                     "cache": str(tmp_path / "cache")},
+            "data": {"dataset_name": "lyric-covers",
+                     "embedding_type": "last_hidden_states",
+                     "embedding_format": "concat"},
+        }
+        cpath = tmp_path / "conf.json"
+        cpath.write_text(json.dumps(conf))
+        rc = main(["pack", "--config", str(cpath)])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["versions_packed"] == 6
+        assert PackedStore(tmp_path / "hs", "hs_last_seq").available

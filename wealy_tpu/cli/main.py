@@ -144,6 +144,38 @@ def cmd_transcribe(args) -> int:
     return 0 if not result["failed"] else 1
 
 
+def cmd_pack(args) -> int:
+    """Pack per-version embedding files into the memory-mapped training
+    format (packed_{kind}.bin + manifest next to the per-version tree)."""
+    from wealy_tpu.data.dataset import build_clean_dataset, embedding_filename
+    from wealy_tpu.data.embedding_store import EmbeddingStore
+    from wealy_tpu.data.packed_store import pack_from_store
+
+    config = _load_config(args.config)
+    md, _ = build_clean_dataset(config)
+    store = EmbeddingStore(config.path.hidden_states, config.data.dataset_name)
+    filename = (
+        args.kind
+        if args.kind
+        else embedding_filename(
+            config.data.embedding_type, config.data.embedding_format
+        )
+    )
+    versions = sorted(
+        v for s in (args.split.split(",") if args.split else ("train", "val", "test"))
+        for c in md.splits[s].values() for v in c
+    )
+    packed = pack_from_store(store, versions, filename, config.path.hidden_states)
+    print(
+        json.dumps(
+            {"kind": packed.kind, "versions_packed": len(packed),
+             "versions_requested": len(versions),
+             "bin": str(packed.bin_path)}
+        )
+    )
+    return 0 if len(packed) else 1
+
+
 def cmd_train(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -545,6 +577,14 @@ def build_parser() -> argparse.ArgumentParser:
         "sequential long-form algorithm (context carry-over + fallback)",
     )
     tr.set_defaults(fn=cmd_transcribe)
+
+    pk = sub.add_parser(
+        "pack", help="pack per-version embeddings into the mmap training format"
+    )
+    pk.add_argument("--config", required=True)
+    pk.add_argument("--split", default=None, help="comma list; default all splits")
+    pk.add_argument("--kind", default=None, help="embedding filename override")
+    pk.set_defaults(fn=cmd_pack)
 
     t = sub.add_parser("train", help="metric-learning training")
     t.add_argument("--config", required=True)

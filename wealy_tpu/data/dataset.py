@@ -196,6 +196,16 @@ class EmbeddingDataset:
         self.filename = embedding_filename(
             config.data.embedding_type, config.data.embedding_format
         )
+        # packed memory-mapped fast path (`wealy_tpu pack`): one binary per
+        # kind next to the per-version tree; versions missing from the pack
+        # fall through to the per-version store below
+        self.packed = None
+        if config.path.hidden_states:
+            from wealy_tpu.data.packed_store import PackedStore
+
+            packed = PackedStore(config.path.hidden_states, self.filename)
+            if packed.available:
+                self.packed = packed
         self.metadata, self.clique2id = build_clean_dataset(
             config, debug=debug, check_audio=check_audio, verbose=verbose, store=self.store
         )
@@ -225,6 +235,10 @@ class EmbeddingDataset:
     def load_embedding(self, version_key: str) -> Optional[np.ndarray]:
         """Main embedding array for a version (fp16 disk -> fp32, store
         semantics of base_dataset.py:216-250)."""
+        if self.packed is not None:
+            emb = self.packed.load(version_key)
+            if emb is not None:
+                return emb
         if self.store is None:
             return None
         data = self.store.load(version_key, self.filename)

@@ -269,13 +269,19 @@ def make_decoder_embed_fn(
     language: Optional[int] = 0,
     max_len: int = 224,
     cross_kv_f8: bool = False,
+    mesh=None,
 ):
     """decode_fn for :func:`extract_split_batched_decoder`: mel -> encoder ->
     greedy decode -> (last hidden states, lengths).
 
     ``cross_kv_f8``: store the prefill cross-attention K/V in float8_e4m3 —
     -28% per decode step at B=128 (bandwidth-bound re-reads), ~1.4%
-    hidden-state perturbation (BENCH_NOTES round 2). Opt-in."""
+    hidden-state perturbation (BENCH_NOTES round 2). Opt-in.
+
+    ``mesh``: shard the clip batch over the mesh's data axis — data-parallel
+    greedy decode (every decode-loop op is batch-parallel, so XLA keeps the
+    per-chip KV caches local; no cross-chip traffic after the input scatter).
+    """
     import jax.numpy as jnp
 
     from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas
@@ -297,7 +303,14 @@ def make_decoder_embed_fn(
         )
         return out["hidden"], out["lengths"]
 
-    return lambda audio: _decode(params, audio)
+    def decode_fn(audio):
+        if mesh is not None:
+            from wealy_tpu.parallel.mesh import data_sharding
+
+            audio = jax.device_put(audio, data_sharding(mesh, 2))
+        return _decode(params, audio)
+
+    return decode_fn
 
 
 def make_wealy_embed_fn(

@@ -63,6 +63,7 @@ def cmd_extract(args) -> int:
                     args.hf_checkpoint,
                     language=0 if kind.endswith("_en") else None,
                     cross_kv_f8=args.cross_kv_f8,
+                    mesh=mesh,
                 ),
                 kind=kind,
                 batch_size=args.batch_size,

@@ -87,3 +87,37 @@ class TestTPScannedEncoder:
         assert {s.data.shape for s in k.addressable_shards} == {(2, 64, 64)}
         got = np.asarray(tp_encode_fn(scanned, mesh)(sharded, mel))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestTPDecode:
+    @pytest.mark.parametrize("n_model,n_data", [(2, 4), (4, 2)])
+    def test_greedy_decode_matches_unsharded(self, n_model, n_data):
+        """TP greedy decode (prefill + KV-cached while_loop) must produce the
+        single-device tokens and hidden states: the Megatron shardings
+        propagate through the decode loop with per-chip KV head shards."""
+        from wealy_tpu.models.whisper.generate import greedy_decode
+        from wealy_tpu.models.whisper.model import Whisper
+        from wealy_tpu.parallel.tp import tp_decode_fn
+
+        cfg = WhisperConfig(
+            n_mels=8, n_audio_ctx=16, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=1, n_vocab=64, n_text_ctx=8, n_text_state=64,
+            n_text_head=4, n_text_layer=2,
+        )
+        model = Whisper(cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(3)
+        B = 8
+        mel = jnp.asarray(rng.normal(size=(B, 8, 32)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), mel, jnp.zeros((B, 2), jnp.int32))["params"]
+        # toy vocab: multilingual special tokens don't fit -> explicit ids
+        prompt, eot = [1, 2], cfg.n_vocab - 1
+
+        states = model.apply({"params": params}, mel, method=Whisper.encode)
+        want = greedy_decode(model, params, states, cfg, prompt=prompt, max_len=6, eot=eot)
+
+        mesh = make_tp_mesh(n_model=n_model, n_data=n_data)
+        sp = shard_params(params, mesh)
+        got = tp_decode_fn(model, mesh, cfg, prompt, max_len=6, eot=eot)(sp, mel)
+        np.testing.assert_array_equal(np.asarray(got["tokens"]), np.asarray(want["tokens"]))
+        err = float(jnp.max(jnp.abs(got["hidden"] - want["hidden"])))
+        assert err < 1e-4, err

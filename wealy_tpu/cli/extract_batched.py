@@ -270,6 +270,7 @@ def make_decoder_embed_fn(
     max_len: int = 224,
     cross_kv_f8: bool = False,
     mesh=None,
+    tp: int = 1,
 ):
     """decode_fn for :func:`extract_split_batched_decoder`: mel -> encoder ->
     greedy decode -> (last hidden states, lengths).
@@ -281,6 +282,10 @@ def make_decoder_embed_fn(
     ``mesh``: shard the clip batch over the mesh's data axis — data-parallel
     greedy decode (every decode-loop op is batch-parallel, so XLA keeps the
     per-chip KV caches local; no cross-chip traffic after the input scatter).
+
+    ``tp``: tensor-parallel degree (>1 builds a (data, model) mesh over all
+    devices and Megatron-shards the Whisper params — the large-v3 path;
+    see wealy_tpu.parallel.tp). Mutually exclusive with ``mesh``.
     """
     import jax.numpy as jnp
 
@@ -292,6 +297,24 @@ def make_decoder_embed_fn(
     model, params, wcfg = load_whisper_model(config, hf_checkpoint)
     prompt = default_prompt(wcfg, language=language)
     kv_dtype = jnp.float8_e4m3fn if cross_kv_f8 else None
+
+    if tp > 1:
+        from wealy_tpu.parallel.tp import make_tp_mesh, shard_params, tp_decode_fn
+
+        assert mesh is None, "pass either mesh (dp) or tp (>1), not both"
+        mesh2d = make_tp_mesh(n_model=tp)
+        params = shard_params(params, mesh2d)
+        tp_decode = tp_decode_fn(model, mesh2d, wcfg, prompt, max_len=max_len)
+
+        @jax.jit
+        def _mel(audio):
+            return log_mel_spectrogram_pallas(audio, n_mels=wcfg.n_mels)
+
+        def decode_fn(audio):
+            out = tp_decode(params, _mel(audio))
+            return out["hidden"], out["lengths"]
+
+        return decode_fn
 
     @jax.jit
     def _decode(params, audio):

@@ -63,7 +63,8 @@ def cmd_extract(args) -> int:
                     args.hf_checkpoint,
                     language=0 if kind.endswith("_en") else None,
                     cross_kv_f8=args.cross_kv_f8,
-                    mesh=mesh,
+                    mesh=None if args.tp > 1 else mesh,
+                    tp=args.tp,
                 ),
                 kind=kind,
                 batch_size=args.batch_size,
@@ -554,6 +555,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="cross-song chunk batching (device-saturating; encoder kinds)",
     )
     e.add_argument("--batch-size", type=int, default=32)
+    e.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel degree for decoder extraction (Whisper-large "
+        "path; builds a (data, model) mesh over all devices)",
+    )
     e.add_argument(
         "--cross-kv-f8",
         action="store_true",

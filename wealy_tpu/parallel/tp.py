@@ -87,6 +87,41 @@ def make_tp_mesh(
     return Mesh(devices.reshape(n_data, n_model), axis_names=("data", "model"))
 
 
+def tp_decode_fn(model, mesh: Mesh, config, prompt, max_len: int = 224, eot=None):
+    """Jitted TP greedy decode (the hs_last_* extraction workload at
+    Whisper-large scale): params TP-sharded via :func:`shard_params`, clip
+    batch sharded over ``data``, width/heads split over ``model``.
+
+    The same Megatron param shardings cover the decoder (q/k/v + cross_attn
+    column-parallel by heads, out/fc2 row-parallel); GSPMD propagates them
+    through the prefill and the KV-cached decode while_loop, so the per-chip
+    KV caches hold only that chip's head shard and the only cross-chip
+    traffic is the out-projection psum per step.
+
+    Returns ``fn(sharded_params, mel) -> {tokens, lengths, hidden, ...}``.
+    """
+    from wealy_tpu.models.whisper.generate import greedy_decode
+    from wealy_tpu.models.whisper.model import Whisper
+
+    mel_sharding = NamedSharding(mesh, P("data", None, None))
+
+    @jax.jit
+    def decode(params, mel):
+        mel = jax.lax.with_sharding_constraint(mel, mel_sharding)
+        states = model.apply({"params": params}, mel, method=Whisper.encode)
+        out = greedy_decode(
+            model, params, states, config, prompt=prompt, max_len=max_len, eot=eot
+        )
+        return {
+            k: jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+            )
+            for k, v in out.items()
+        }
+
+    return decode
+
+
 def tp_encode_fn(model, mesh: Mesh):
     """Jitted TP encoder: mel batch sharded over ``data``, params TP-sharded.
 

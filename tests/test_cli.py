@@ -250,6 +250,39 @@ class TestWealySongEval:
 
 
 class TestStreamingEvaluateCLI:
+    def test_chunk_sets_streaming_matches_monolithic(self, project, capsys):
+        """--streaming --chunk-sets must reproduce the non-streaming redux
+        metrics exactly (same chunk sets, block-streamed ranking)."""
+        _, cpath, _ = project
+        rc = main(["evaluate", "--config", str(cpath), "--split", "test",
+                   "--redux", "smean"])
+        assert rc == 0
+        want = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        rc = main(["evaluate", "--config", str(cpath), "--split", "test",
+                   "--redux", "smean", "--streaming", "--chunk-sets"])
+        assert rc == 0
+        got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["MAP"] == want["MAP"] and got["MR1"] == want["MR1"]
+
+    def test_wealy_test_mode_streaming(self, project, capsys, tmp_path):
+        tmp_path2, cpath, _ = project
+        conf = json.loads(cpath.read_text())
+        conf["model"]["name"] = "wealy-clews"
+        conf["model"]["zdim"] = 16
+        conf["path"]["checkpoints"] = str(tmp_path2 / "nockpt_tms")
+        cpath2 = tmp_path2 / "conf_tms.json"
+        cpath2.write_text(json.dumps(conf))
+        out = {}
+        for flags in ([], ["--streaming"]):
+            rc = main(["evaluate", "--config", str(cpath2), "--split", "test",
+                       "--test-mode", "--redux", "smean", *flags])
+            assert rc == 0
+            out[bool(flags)] = json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1]
+            )
+        assert out[True]["MAP"] == out[False]["MAP"]
+        assert out[True]["MR1"] == out[False]["MR1"]
+
     def test_streaming_flag(self, project, capsys):
         _, cpath, _ = project
         rc = main(["evaluate", "--config", str(cpath), "--split", "test",

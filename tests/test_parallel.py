@@ -112,6 +112,70 @@ class TestGlobalBatchLoss:
         np.testing.assert_allclose(float(loss_g), float(loss_s), rtol=1e-5)
 
 
+class TestStreamingChunkSetRanks:
+    @pytest.mark.parametrize("redux", ["smean", "bpwr"])
+    def test_matches_monolithic_redux(self, rng, redux):
+        """3-D chunk-set inputs: streaming block scoring with
+        distance_tensor_redux must reproduce the monolithic
+        song_distance_matrix + rank_metrics result exactly (the reference
+        test protocol at corpus scale)."""
+        from wealy_tpu.eval.retrieval import rank_metrics, song_distance_matrix
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        S, smax, C = 30, 5, 12
+        labels = np.repeat(np.arange(10), 3)
+        base = rng.normal(size=(10, C)).astype(np.float32)
+        sets = np.zeros((S, smax, C), np.float32)
+        mask = np.zeros((S, smax), bool)
+        for i in range(S):
+            n = int(rng.integers(1, smax + 1))
+            sets[i, :n] = base[labels[i]][None] + 0.6 * rng.normal(size=(n, C))
+            mask[i, :n] = True
+        ids = np.arange(S)
+
+        d = song_distance_matrix(sets, mask, sets, mask, mode="cos", redux=redux)
+        want = rank_metrics(d, labels, labels, query_idx=ids, cand_idx=ids, topk=(10,))
+
+        ranks, n_rel = streaming_relevant_ranks(
+            sets, sets, labels, labels,
+            mode="cos", redux=redux, block_size=7, query_block=11,
+            query_idx=ids, corpus_idx=ids,
+            query_mask=mask, corpus_mask=mask,
+        )
+        got = map_from_ranks(ranks, n_rel, topk=(10,))
+        assert abs(got["MAP"] - want["MAP"]) < 1e-9, (got["MAP"], want["MAP"])
+        assert abs(got["MR1"] - want["MR1"]) < 1e-9
+
+    def test_mesh_chunk_sets(self, mesh, rng):
+        """Chunk-set streaming over the 8-device mesh matches no-mesh."""
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        S, smax, C = 19, 3, 8
+        labels = np.arange(S) // 2
+        base = rng.normal(size=(S // 2 + 1, C)).astype(np.float32)
+        sets = base[labels][:, None, :] + 0.5 * rng.normal(
+            size=(S, smax, C)
+        ).astype(np.float32)
+        mask = np.ones((S, smax), bool)
+        mask[3, 1:] = False
+        args = dict(
+            mode="cos", redux="smean", block_size=4, query_block=4,
+            query_mask=mask, corpus_mask=mask,
+        )
+        r1, n1 = streaming_relevant_ranks(sets, sets, labels, labels, **args)
+        r2, n2 = streaming_relevant_ranks(
+            sets, sets, labels, labels, mesh=mesh, **args
+        )
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(n1, n2)
+
+
 class TestStreamingRanks:
     def test_matches_rank_metrics(self, rng):
         from wealy_tpu.eval.retrieval import rank_metrics

@@ -370,7 +370,7 @@ def cmd_evaluate(args) -> int:
         sets, set_mask, bidx, _ = regroup_chunks(z, batch.chunk_info, batch.chunk_valid)
         labels.extend(items[i][0] for i in bidx)
         ids.extend(items[i][1][0][0] for i in bidx)
-        if args.streaming:
+        if args.streaming and not args.chunk_sets:
             # pool each song's chunk set immediately: O(S, C) state only
             w = set_mask[..., None].astype(np.float32)
             song_vecs.append((sets * w).sum(axis=1) / np.maximum(w.sum(axis=1), 1e-9))
@@ -388,29 +388,51 @@ def cmd_evaluate(args) -> int:
             streaming_relevant_ranks,
         )
 
-        vecs = np.concatenate(song_vecs, axis=0)
-        ranks, n_rel = streaming_relevant_ranks(
-            vecs, vecs, labels, labels,
-            mode="cos", query_idx=ids, corpus_idx=ids,
-        )
+        if args.chunk_sets:
+            # exact chunk-set redux ranking, block-streamed: transient device
+            # memory is one (query_block, block, s1, s2) redux tensor
+            sets, set_mask = _pad_chunk_sets(all_sets, all_masks, len(labels))
+            ranks, n_rel = streaming_relevant_ranks(
+                sets, sets, labels, labels,
+                mode="cos", redux=args.redux,
+                query_mask=set_mask, corpus_mask=set_mask,
+                block_size=256, query_block=256,
+                query_idx=ids, corpus_idx=ids,
+            )
+        else:
+            vecs = np.concatenate(song_vecs, axis=0)
+            ranks, n_rel = streaming_relevant_ranks(
+                vecs, vecs, labels, labels,
+                mode="cos", query_idx=ids, corpus_idx=ids,
+            )
         metrics = map_from_ranks(ranks, n_rel, topk=(10,))
     else:
         # chunk-set redux scoring: pad groups to the global max chunk count
-        max_chunks = max(s.shape[1] for s in all_sets)
-        C = all_sets[0].shape[-1]
-        sets = np.zeros((len(labels), max_chunks, C), np.float32)
-        set_mask = np.zeros((len(labels), max_chunks), bool)
-        row = 0
-        for s, m in zip(all_sets, all_masks):
-            sets[row : row + s.shape[0], : s.shape[1]] = s
-            set_mask[row : row + s.shape[0], : s.shape[1]] = m
-            row += s.shape[0]
+        sets, set_mask = _pad_chunk_sets(all_sets, all_masks, len(labels))
         metrics = evaluate_retrieval(
             sets, set_mask, labels, version_ids=ids, redux=args.redux
         )
         metrics.pop("_dist")
     print(json.dumps(metrics))
     return 0
+
+
+def _pad_chunk_sets(all_sets, all_masks, n_rows):
+    """Concatenate per-group (S_g, s_g, C) chunk sets into one (S, smax, C)
+    array + True=valid mask, padding every group to the global max chunk
+    count."""
+    import numpy as np
+
+    max_chunks = max(s.shape[1] for s in all_sets)
+    C = all_sets[0].shape[-1]
+    sets = np.zeros((n_rows, max_chunks, C), np.float32)
+    set_mask = np.zeros((n_rows, max_chunks), bool)
+    row = 0
+    for s, m in zip(all_sets, all_masks):
+        sets[row : row + s.shape[0], : s.shape[1]] = s
+        set_mask[row : row + s.shape[0], : s.shape[1]] = m
+        row += s.shape[0]
+    return sets, set_mask
 
 
 def _evaluate_wealy_test_mode(args, config, model) -> int:
@@ -474,8 +496,27 @@ def _evaluate_wealy_test_mode(args, config, model) -> int:
         slot[si] += 1
     labels = np.array([s["clique_id"] for s in songs])
     ids = np.array([s["version_id"] for s in songs])
-    d = song_distance_matrix(sets, mask, sets, mask, mode="cos", redux=args.redux)
-    metrics = rank_metrics(d, labels, labels, query_idx=ids, cand_idx=ids, topk=(10,))
+    if args.streaming:
+        # corpus-scale: block-streamed chunk-set redux ranking (no (S, S)
+        # matrix, no (S, S, s1, s2) tensor — one block pair at a time)
+        from wealy_tpu.parallel.similarity import (
+            map_from_ranks,
+            streaming_relevant_ranks,
+        )
+
+        ranks, n_rel = streaming_relevant_ranks(
+            sets, sets, labels, labels,
+            mode="cos", redux=args.redux,
+            query_mask=mask, corpus_mask=mask,
+            block_size=256, query_block=256,
+            query_idx=ids, corpus_idx=ids,
+        )
+        metrics = map_from_ranks(ranks, n_rel, topk=(10,))
+    else:
+        d = song_distance_matrix(sets, mask, sets, mask, mode="cos", redux=args.redux)
+        metrics = rank_metrics(
+            d, labels, labels, query_idx=ids, cand_idx=ids, topk=(10,)
+        )
     print(json.dumps(metrics))
     return 0
 
@@ -621,7 +662,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--test-mode",
         action="store_true",
         help="WEALY models: embed ALL chunks per song (reference "
-        "handle_wealy_test_mode) and score chunk sets with --redux",
+        "handle_wealy_test_mode) and score chunk sets with --redux "
+        "(combine with --streaming for corpus scale)",
+    )
+    ev.add_argument(
+        "--chunk-sets",
+        action="store_true",
+        help="with --streaming: exact chunk-set --redux ranking streamed in "
+        "blocks instead of chunk-pooled song vectors",
     )
     ev.set_defaults(fn=cmd_evaluate)
     return p

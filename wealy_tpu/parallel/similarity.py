@@ -165,6 +165,9 @@ def streaming_relevant_ranks(
     query_idx=None,
     corpus_idx=None,
     max_relevant: Optional[int] = None,
+    query_mask=None,
+    corpus_mask=None,
+    redux: str = "bpwr",
 ):
     """Exact ranks of every relevant candidate per query WITHOUT materializing
     the (Q, N) matrix — the corpus-scale MAP/MR1 path (SURVEY.md §7:
@@ -189,11 +192,49 @@ def streaming_relevant_ranks(
     no truncation. Passing a cap logs any truncation (see
     :func:`relevant_columns`).
 
+    CHUNK SETS: 3-D ``queries``/``corpus`` ((Q, s, C) with (Q, s) True=valid
+    ``query_mask``/``corpus_mask``) switch per-pair scoring to chunk-set
+    reduction — pairwise chunk distances + ``distance_tensor_redux(redux)``
+    per (row, column) block, the reference test protocol (SURVEY.md §3.4) at
+    corpus scale. Use a *distance* mode (e.g. "cos") and block sizes sized so
+    the transient (q_block, block, s1, s2) redux tensor fits device memory
+    (256 x 256 at s=12 is ~37 MB).
+
     Returns (ranks (Q, R) int32 — 1-based, 0 = empty slot, n_rel (Q,)).
     Feed to :func:`map_from_ranks`.
     """
     corpus = np.asarray(corpus)
     queries = np.asarray(queries)
+    sets = queries.ndim == 3
+    if sets:
+        assert corpus.ndim == 3, "chunk-set queries need chunk-set corpus"
+        assert query_mask is not None and corpus_mask is not None
+        query_mask = np.asarray(query_mask, bool)
+        corpus_mask = np.asarray(corpus_mask, bool)
+        assert not mode.endswith("sim"), (
+            "chunk-set scoring reduces distances; use a distance mode ('cos')"
+        )
+        from wealy_tpu.ops.redux import distance_tensor_redux
+
+        s1, s2, Cdim = queries.shape[1], corpus.shape[1], corpus.shape[-1]
+
+        def _block_dist(q, qm, y, ym):
+            d = pairwise_distance_matrix(
+                q.reshape(-1, Cdim), y.reshape(-1, Cdim), mode=mode
+            )
+            d = d.reshape(q.shape[0], s1, y.shape[0], s2).transpose(0, 2, 1, 3)
+            excl = (~qm)[:, None, :, None] | (~ym)[None, :, None, :]
+            return distance_tensor_redux(
+                d, redux, mask=jnp.broadcast_to(excl, d.shape)
+            )
+
+        # all-padding rows/cols reduce over empty masks; they are excluded
+        # from ranking by n_valid / cols bookkeeping, values are irrelevant
+    else:
+        s1 = s2 = 1  # dummy (qb, 1) masks keep the jit signatures uniform
+
+        def _block_dist(q, qm, y, ym):
+            return pairwise_distance_matrix(q, y, mode=mode)
     query_labels = np.asarray(query_labels)
     corpus_labels = np.asarray(corpus_labels)
     Q = queries.shape[0]
@@ -225,6 +266,7 @@ def streaming_relevant_ranks(
     b = block_size
 
     q_shard = data_sharding(mesh, 2) if mesh is not None else None
+    qd_shard = data_sharding(mesh, queries.ndim) if mesh is not None else None
     q_shard1 = data_sharding(mesh, 1) if mesh is not None else None
     repl = replicated(mesh) if mesh is not None else None
 
@@ -235,11 +277,11 @@ def streaming_relevant_ranks(
 
     @functools.partial(
         _jit,
-        in_shardings=(q_shard, repl, q_shard, q_shard, None, None),
+        in_shardings=(qd_shard, q_shard, repl, repl, q_shard, q_shard, None, None),
         out_shardings=q_shard,
     )
-    def _gather_step(q, yblk, rel_scores, cols, start, n_valid):
-        d = pairwise_distance_matrix(q, yblk, mode=mode)  # (qb, b)
+    def _gather_step(q, qm, yblk, ym, rel_scores, cols, start, n_valid):
+        d = _block_dist(q, qm, yblk, ym)  # (qb, b)
         local = cols - start
         in_blk = (local >= 0) & (local < n_valid) & (cols >= 0)
         g = jnp.take_along_axis(d, jnp.clip(local, 0, b - 1).astype(jnp.int32), axis=1)
@@ -247,11 +289,16 @@ def streaming_relevant_ranks(
 
     @functools.partial(
         _jit,
-        in_shardings=(q_shard, repl, q_shard, q_shard, q_shard, q_shard1, repl, None, None),
+        in_shardings=(
+            qd_shard, q_shard, repl, repl, q_shard, q_shard, q_shard,
+            q_shard1, repl, None, None,
+        ),
         out_shardings=q_shard,
     )
-    def _count_step(q, yblk, better, rel_scores, cols, qidx, cidx_blk, start, n_valid):
-        d = pairwise_distance_matrix(q, yblk, mode=mode)  # (qb, b)
+    def _count_step(
+        q, qm, yblk, ym, better, rel_scores, cols, qidx, cidx_blk, start, n_valid
+    ):
+        d = _block_dist(q, qm, yblk, ym)  # (qb, b)
         colpos = start + jnp.arange(b, dtype=jnp.int32)
         col_ok = (jnp.arange(b) < n_valid)[None, :] & (
             cidx_blk[None, :] != qidx[:, None]
@@ -272,50 +319,65 @@ def streaming_relevant_ranks(
 
     ranks_out = np.zeros((Q, R), np.int32)
     for s0 in range(0, n_q_slabs * qb, qb):
-        s1 = min(s0 + qb, Q)
-        q_slab = np.zeros((qb, queries.shape[1]), queries.dtype)
-        q_slab[: s1 - s0] = queries[s0:s1]
+        e0 = min(s0 + qb, Q)
+        q_slab = np.zeros((qb, *queries.shape[1:]), queries.dtype)
+        q_slab[: e0 - s0] = queries[s0:e0]
+        qm_slab = np.zeros((qb, s1 if sets else 1), bool)
+        if sets:
+            qm_slab[: e0 - s0] = query_mask[s0:e0]
+        else:
+            qm_slab[:] = True
         cols_slab = np.full((qb, R), -1, np.int32)
-        cols_slab[: s1 - s0] = rel_cols[s0:s1]
+        cols_slab[: e0 - s0] = rel_cols[s0:e0]
         qidx_slab = np.full((qb,), -1, np.int32)  # -1 never matches a real idx
-        qidx_slab[: s1 - s0] = query_idx[s0:s1]
+        qidx_slab[: e0 - s0] = query_idx[s0:e0]
 
         q_dev = jnp.asarray(q_slab)
+        qm_dev = jnp.asarray(qm_slab)
         cols_dev = jnp.asarray(cols_slab)
         qidx_dev = jnp.asarray(qidx_slab)
         if mesh is not None:
-            q_dev = jax.device_put(q_dev, q_shard)
+            q_dev = jax.device_put(q_dev, qd_shard)
+            qm_dev = jax.device_put(qm_dev, q_shard)
             cols_dev = jax.device_put(cols_dev, q_shard)
             qidx_dev = jax.device_put(qidx_dev, data_sharding(mesh, 1))
 
         def blocks():
             for start in range(0, n_blocks * b, b):
                 end = min(start + b, N)
-                yblk = np.zeros((b, corpus.shape[1]), corpus.dtype)
+                yblk = np.zeros((b, *corpus.shape[1:]), corpus.dtype)
                 yblk[: end - start] = corpus[start:end]
+                ym = np.zeros((b, s2 if sets else 1), bool)
+                if sets:
+                    ym[: end - start] = corpus_mask[start:end]
+                else:
+                    ym[:] = True
                 cidx = np.full((b,), -1, np.int32)
                 cidx[: end - start] = corpus_idx[start:end]
-                yield start, end - start, jnp.asarray(yblk), jnp.asarray(cidx)
+                yield (
+                    start, end - start,
+                    jnp.asarray(yblk), jnp.asarray(ym), jnp.asarray(cidx),
+                )
 
         rel_scores = jnp.zeros((qb, R), jnp.float32)
         if mesh is not None:
             rel_scores = jax.device_put(rel_scores, q_shard)
-        for start, n_valid, yblk, _ in blocks():
+        for start, n_valid, yblk, ym, _ in blocks():
             rel_scores = _gather_step(
-                q_dev, yblk, rel_scores, cols_dev, start, n_valid
+                q_dev, qm_dev, yblk, ym, rel_scores, cols_dev, start, n_valid
             )
 
         better = jnp.zeros((qb, R), jnp.int32)
         if mesh is not None:
             better = jax.device_put(better, q_shard)
-        for start, n_valid, yblk, cidx in blocks():
+        for start, n_valid, yblk, ym, cidx in blocks():
             better = _count_step(
-                q_dev, yblk, better, rel_scores, cols_dev, qidx_dev, cidx,
-                start, n_valid,
+                q_dev, qm_dev, yblk, ym, better, rel_scores, cols_dev,
+                qidx_dev, cidx, start, n_valid,
             )
 
-        slab_ranks = np.asarray(better)[: s1 - s0]
-        ranks_out[s0:s1] = np.where(cols_slab[: s1 - s0] >= 0, slab_ranks + 1, 0)
+        slab_ranks = np.asarray(better)[: e0 - s0]
+        ranks_out[s0:e0] = np.where(cols_slab[: e0 - s0] >= 0, slab_ranks + 1, 0)
 
     return ranks_out, n_rel
 

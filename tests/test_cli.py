@@ -233,6 +233,53 @@ class TestWealyTestModeCLI:
         assert out["n_queries"] == 4 and 0.0 <= out["MAP"] <= 1.0
 
 
+class TestWhisperClewsTestModeCLI:
+    @pytest.mark.parametrize("name", ["whisper-clews", "multimodal-two-stream"])
+    def test_overlapping_window_chunk_sets(self, project, capsys, name):
+        """--test-mode for the whisper-clews family: every overlapping
+        whisper-sequence window embedded with the song's CLEWS context."""
+        tmp_path, cpath, _ = project
+        conf = json.loads(cpath.read_text())
+        conf["model"]["name"] = name
+        conf["model"]["zdim"] = 16
+        conf["data"]["chunk_size"] = 8
+        conf["path"]["checkpoints"] = str(tmp_path / f"nockpt_wtm_{name}")
+        cpath2 = tmp_path / f"conf_wtm_{name}.json"
+        cpath2.write_text(json.dumps(conf))
+        rc = main(["evaluate", "--config", str(cpath2), "--split", "test",
+                   "--test-mode", "--redux", "smean", "--encode-slab", "4"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["n_queries"] == 4 and 0.0 <= out["MAP"] <= 1.0
+
+
+class TestWhisperClewsTestModeCollate:
+    def test_window_layout(self):
+        from wealy_tpu.data.collate_factory import whisper_clews_test_mode_items
+
+        rng = np.random.default_rng(0)
+        mm = {
+            "whisper_seq": rng.normal(size=(25, 6)).astype(np.float32),
+            "full_clews": rng.normal(size=(4, 8)).astype(np.float32),
+            "avg_clews": rng.normal(size=(8,)).astype(np.float32),
+            "clews_mask": np.zeros(4, bool),
+        }
+        short = dict(mm, whisper_seq=rng.normal(size=(5, 6)).astype(np.float32))
+        songs = whisper_clews_test_mode_items(
+            [(0, [(10, mm)]), (1, [(11, short)])], chunk_size=10, overlap=0.5,
+        )
+        # T=25, L=10, stride=5 -> starts 0,5,10,15 (tail-drop)
+        assert songs[0]["whisper_chunks"].shape == (4, 10, 6)
+        assert songs[0]["whisper_chunk_valid"].all()
+        np.testing.assert_array_equal(
+            songs[0]["whisper_chunks"][1], mm["whisper_seq"][5:15]
+        )
+        # T=5 < L -> one zero-padded window
+        assert songs[1]["whisper_chunks"].shape == (1, 10, 6)
+        assert songs[1]["whisper_chunk_valid"][0, :5].all()
+        assert not songs[1]["whisper_chunk_valid"][0, 5:].any()
+
+
 class TestWealySongEval:
     def test_chunk_set_scoring(self):
         from wealy_tpu.eval.wealy import evaluate_wealy_songs

@@ -327,8 +327,8 @@ def cmd_evaluate(args) -> int:
 
     config = _load_config(args.config)
     model, sig = build_model(config.model.name, zdim=config.model.zdim)
-    if sig == "wealy" and args.test_mode:
-        return _evaluate_wealy_test_mode(args, config, model)
+    if sig != "single" and args.test_mode:
+        return _evaluate_mm_test_mode(args, config, model, sig)
     if sig != "single":
         return _evaluate_multimodal(args, config, model, sig)
     ds = EmbeddingDataset(config, args.split, seed=0)
@@ -435,28 +435,50 @@ def _pad_chunk_sets(all_sets, all_masks, n_rows):
     return sets, set_mask
 
 
-def _evaluate_wealy_test_mode(args, config, model) -> int:
-    """WEALY test-mode evaluation: ALL chunks per song (the reference's
-    handle_wealy_test_mode contract, collate_functions.py:54-88) -> the
-    fusion model embeds every (chunk, song-CLEWS) pair -> per-song z chunk
-    sets scored with distance_tensor_redux (SURVEY.md §3.4)."""
+def _evaluate_mm_test_mode(args, config, model, sig) -> int:
+    """Fusion-model test-mode evaluation: ALL chunks per song — WEALY's
+    precomputed 30 s chunks (reference handle_wealy_test_mode,
+    collate_functions.py:54-88) or overlapping whisper-sequence windows
+    (the use_overlapping_chunks branch, :253-374) — each embedded with the
+    song's CLEWS context, per-song z chunk sets scored with
+    distance_tensor_redux (SURVEY.md §3.4)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from wealy_tpu.data.collate_factory import wealy_test_mode_items
-    from wealy_tpu.data.multimodal import WealyClewsDataset
+    from wealy_tpu.data.collate_factory import (
+        wealy_test_mode_items,
+        whisper_clews_test_mode_items,
+    )
+    from wealy_tpu.data.multimodal import WealyClewsDataset, WhisperClewsDataset
     from wealy_tpu.eval.retrieval import rank_metrics, slabbed_apply, song_distance_matrix
     from wealy_tpu.train.checkpoint import CheckpointManager
 
-    ds = WealyClewsDataset(config, args.split, n_per_class=1, seed=0)
-    songs = wealy_test_mode_items([ds[i] for i in range(len(ds))])
+    ds_cls = WealyClewsDataset if sig == "wealy" else WhisperClewsDataset
+    ds = ds_cls(config, args.split, n_per_class=1, seed=0)
+    items = [ds[i] for i in range(len(ds))]
+    if sig == "wealy":
+        songs = wealy_test_mode_items(items)
+    else:
+        songs = whisper_clews_test_mode_items(
+            items,
+            chunk_size=config.data.chunk_size,
+            overlap=config.data.overlap_percentage,
+        )
 
     # flatten: one row per (song, chunk), CLEWS context repeated per chunk
-    rows_w, rows_fc, rows_cm, song_of = [], [], [], []
+    rows_w, rows_wv, rows_fc, rows_cm, song_of = [], [], [], [], []
     for si, s in enumerate(songs):
-        for c in np.atleast_2d(np.asarray(s["wealy_all_chunks"], np.float32)):
+        if sig == "wealy":
+            chunks = np.atleast_2d(np.asarray(s["wealy_all_chunks"], np.float32))
+            valids = [None] * len(chunks)
+        else:
+            chunks = np.asarray(s["whisper_chunks"], np.float32)
+            valids = np.asarray(s["whisper_chunk_valid"], bool)
+        for c, v in zip(chunks, valids):
             rows_w.append(c)
+            if v is not None:
+                rows_wv.append(v)
             rows_fc.append(np.asarray(s["full_clews"], np.float32))
             rows_cm.append(np.asarray(s["clews_mask"], bool))
             song_of.append(si)
@@ -470,18 +492,50 @@ def _evaluate_wealy_test_mode(args, config, model) -> int:
         mgr = CheckpointManager(args.checkpoint or config.path.checkpoints)
         if mgr.latest_step() is not None:
             params = mgr.restore()["params"]
-    if params is None:
-        params = model.init(
-            jax.random.PRNGKey(0),
-            jnp.asarray(rows_w[:2]),
-            jnp.asarray(rows_fc[:2]),
-            ~jnp.asarray(rows_cm[:2]),
-        )["params"]
 
-    embed = jax.jit(
-        lambda w, fc, cm: model.apply({"params": params}, w, fc, ~cm)
-    )
-    z = slabbed_apply(embed, rows_w, rows_fc, rows_cm, slab_size=args.encode_slab)
+    from wealy_tpu.train.multimodal import make_model_call
+
+    model_call = make_model_call(config.model.name, model, sig)
+    if sig == "wealy":
+        if params is None:
+            params = model.init(
+                jax.random.PRNGKey(0),
+                jnp.asarray(rows_w[:2]),
+                jnp.asarray(rows_fc[:2]),
+                ~jnp.asarray(rows_cm[:2]),
+            )["params"]
+        embed = jax.jit(
+            lambda w, fc, cm: model_call(
+                params, {"wealy": w, "full_clews": fc, "clews_mask": cm}
+            )
+        )
+        z = slabbed_apply(
+            embed, rows_w, rows_fc, rows_cm, slab_size=args.encode_slab
+        )
+    else:  # two_stream / dual: overlapping whisper windows + CLEWS context
+        rows_wv = np.stack(rows_wv)
+        if params is None:
+            params = model.init(
+                jax.random.PRNGKey(0),
+                jnp.asarray(rows_w[:2]),
+                jnp.asarray(rows_wv[:2]),
+                jnp.asarray(rows_fc[:2]),
+                ~jnp.asarray(rows_cm[:2]),
+            )["params"]
+        embed = jax.jit(
+            lambda w, wv, fc, cm: model_call(
+                params,
+                {
+                    "whisper_seq": w,
+                    "whisper_mask": ~wv,  # batch convention: True = invalid
+                    "full_clews": fc,
+                    "clews_mask": cm,
+                },
+            )
+        )
+        z = slabbed_apply(
+            embed, rows_w, rows_wv, rows_fc, rows_cm, slab_size=args.encode_slab
+        )
 
     # regroup chunk z's into per-song sets, pad to the max chunk count
     S = len(songs)
@@ -661,9 +715,10 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument(
         "--test-mode",
         action="store_true",
-        help="WEALY models: embed ALL chunks per song (reference "
-        "handle_wealy_test_mode) and score chunk sets with --redux "
-        "(combine with --streaming for corpus scale)",
+        help="fusion models: embed ALL chunks per song (WEALY precomputed "
+        "chunks / overlapping whisper windows, the reference test collates) "
+        "and score chunk sets with --redux (add --streaming for corpus "
+        "scale)",
     )
     ev.add_argument(
         "--chunk-sets",

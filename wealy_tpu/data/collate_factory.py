@@ -162,6 +162,51 @@ def wealy_test_mode_items(items: Sequence[MMItem]) -> List[dict]:
     return out
 
 
+def whisper_clews_test_mode_items(
+    items: Sequence[MMItem],
+    chunk_size: int = 1000,
+    overlap: float = 0.9,
+) -> List[dict]:
+    """Whisper+CLEWS test mode: per-song dicts carrying ALL overlapping
+    whisper-sequence windows (the use_overlapping_chunks=True branch of the
+    reference's 6-item collate, collate_functions.py:253-374 applied to the
+    whisper-clews format) plus the song's CLEWS context.
+
+    Windows: stride = chunk_size*(1-overlap), fully-inside windows only
+    (tail-drop, reference :307-309); sequences shorter than one window yield
+    a single zero-padded chunk with a validity mask.
+    """
+    stride = max(1, chunk_size - int(chunk_size * overlap))
+    out = []
+    for i, (label, versions) in enumerate(items):
+        for j, (vid, mm) in enumerate(versions):
+            seq = np.asarray(mm["whisper_seq"], np.float32)
+            T, C = seq.shape
+            if T <= chunk_size:
+                chunks = np.zeros((1, chunk_size, C), np.float32)
+                valid = np.zeros((1, chunk_size), bool)
+                chunks[0, :T] = seq
+                valid[0, :T] = True
+            else:
+                starts = list(range(0, T - chunk_size + 1, stride))
+                chunks = np.stack([seq[s : s + chunk_size] for s in starts])
+                valid = np.ones((len(starts), chunk_size), bool)
+            out.append(
+                {
+                    "clique_id": label,
+                    "version_id": vid,
+                    "whisper_chunks": chunks,
+                    "whisper_chunk_valid": valid,
+                    "full_clews": mm["full_clews"],
+                    "avg_clews": mm["avg_clews"],
+                    "clews_mask": mm["clews_mask"],
+                    "batch_idx": i,
+                    "version_idx": j,
+                }
+            )
+    return out
+
+
 def collate_whisper_clews(
     items: Sequence[MMItem],
     chunk_size: int = 1000,
@@ -229,6 +274,10 @@ def create_collate_fn(
             rng=rng,
         )
     if name in WHISPER_CLEWS_MODELS:
+        if use_overlapping_chunks:
+            return lambda items: whisper_clews_test_mode_items(
+                items, chunk_size=chunk_size, overlap=overlap_percentage
+            )
         use_random = not deterministic and config.data.use_random_chunks
         return lambda items: collate_whisper_clews(
             items,

@@ -20,7 +20,9 @@ import time
 import numpy as np
 
 
-def _tpu_throughput(batch: int = 128, iters: int = 20) -> float:
+def _tpu_throughput(batch: int = 256, iters: int = 20) -> float:
+    # batch sweep (BENCH_NOTES round 2): 64: 1366, 128: 1537, 192: 1507,
+    # 256: 1589 clips/s — 256 is the measured knee
     import jax
     import jax.numpy as jnp
 

@@ -254,3 +254,51 @@ class TestSHSProductionScale:
             c for s in ("train", "val", "test") for c in md.splits[s]
         ))
         assert n_cliques >= len(mapping)
+
+
+class TestDiscogsViProductionScale:
+    @pytest.mark.slow
+    def test_full_scale_synthetic_load(self, tmp_path):
+        """Discogs-VI at production scale (the real corpus is ~100K+ versions;
+        its CSVs are stripped from the reference snapshot): a 120K-row
+        synthetic id-to-file-mapping.csv must build, id-assign, and
+        perfect-consistency-check within time bounds."""
+        import time
+
+        from wealy_tpu.data.dataset import ensure_perfect_consistency
+        from wealy_tpu.data.ids import (
+            assign_deterministic_ids,
+            global_clique_id_mapping,
+        )
+        from wealy_tpu.data.metadata import load_discogs_vi
+
+        rng = np.random.default_rng(0)
+        n_cliques = 30_000
+        rows = []
+        for c in range(n_cliques):
+            split = ("train", "val", "test")[c % 10 % 3 if c % 10 < 3 else 0]
+            for v in range(int(rng.integers(2, 7))):
+                rows.append(
+                    (split, f"C-{c}", f"{c}-{v}", f"yt{c}_{v}", f"file_{c}_{v}")
+                )
+        pd.DataFrame(rows).to_csv(
+            tmp_path / "id-to-file-mapping.csv", index=False, header=False
+        )
+
+        t0 = time.perf_counter()
+        md = load_discogs_vi(tmp_path)
+        dt = time.perf_counter() - t0
+        assert md.n_versions() == len(rows) and len(rows) > 100_000
+        assert dt < 30, f"metadata build took {dt:.1f}s"
+
+        t0 = time.perf_counter()
+        assign_deterministic_ids(md)
+        assert time.perf_counter() - t0 < 10
+        mapping = global_clique_id_mapping(md)
+        assert len(mapping) == n_cliques
+
+        # the hard reference invariant (validator.py:52-122) at scale
+        t0 = time.perf_counter()
+        for split in ("train", "val", "test"):
+            ensure_perfect_consistency(md, split)
+        assert time.perf_counter() - t0 < 30

@@ -95,6 +95,20 @@ def cmd_extract(args) -> int:
             "incomplete": result["incomplete"],
             "throughput": result["throughput"],
         }))
+        if args.pack and result["done"]:
+            from wealy_tpu.data.embedding_store import EmbeddingStore
+            from wealy_tpu.data.packed_store import pack_from_store
+
+            store = EmbeddingStore(
+                config.path.hidden_states, config.data.dataset_name
+            )
+            versions = sorted(
+                v for c in md.splits[args.split].values() for v in c
+            )
+            packed = pack_from_store(
+                store, versions, f"{kind}.npz", config.path.hidden_states
+            )
+            print(json.dumps({"packed": len(packed), "kind": packed.kind}))
         return 0 if not result["incomplete"] else 1
     result = extract_split(
         config,
@@ -650,6 +664,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="cross-song chunk batching (device-saturating; encoder kinds)",
     )
     e.add_argument("--batch-size", type=int, default=32)
+    e.add_argument(
+        "--pack",
+        action="store_true",
+        help="after batched extraction, pack the kind into the mmap "
+        "training format (same as the pack command)",
+    )
     e.add_argument(
         "--tp", type=int, default=1,
         help="tensor-parallel degree for decoder extraction (Whisper-large "

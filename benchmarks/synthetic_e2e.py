@@ -94,6 +94,12 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-size", type=int, default=48)
     p.add_argument("--workdir", default=None)
     p.add_argument("--keep", action="store_true")
+    p.add_argument("--eval-chunk-sets", action="store_true",
+                   help="evaluate with exact chunk-set redux streaming "
+                        "(--streaming --chunk-sets) instead of pooling")
+    p.add_argument("--redux", default="smean")
+    p.add_argument("--overlap", type=float, default=None,
+                   help="test-time window overlap (default config 0.9)")
     args = p.parse_args(argv)
 
     workdir = Path(args.workdir) if args.workdir else Path(tempfile.mkdtemp(prefix="wealy_e2e_"))
@@ -115,6 +121,7 @@ def main(argv=None) -> int:
             "embedding_type": "last_hidden_states",
             "embedding_format": "concat",
             "chunk_size": args.chunk_size,
+            **({"overlap_percentage": args.overlap} if args.overlap is not None else {}),
         },
         "model": {"name": "whisper", "zdim": 64},
         "train": {
@@ -145,6 +152,7 @@ def main(argv=None) -> int:
         rc = cli_main([
             "evaluate", "--config", str(cpath), "--split", "test",
             "--streaming", "--song-group", "512", "--encode-slab", "512",
+            *(["--chunk-sets", "--redux", args.redux] if args.eval_chunk_sets else []),
         ])
     assert rc == 0, buf.getvalue()[-2000:]
     t_eval = time.perf_counter() - t0

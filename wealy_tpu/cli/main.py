@@ -406,11 +406,12 @@ def cmd_evaluate(args) -> int:
             # exact chunk-set redux ranking, block-streamed: transient device
             # memory is one (query_block, block, s1, s2) redux tensor
             sets, set_mask = _pad_chunk_sets(all_sets, all_masks, len(labels))
+            blk = _set_block_size(sets.shape[1])
             ranks, n_rel = streaming_relevant_ranks(
                 sets, sets, labels, labels,
                 mode="cos", redux=args.redux,
                 query_mask=set_mask, corpus_mask=set_mask,
-                block_size=256, query_block=256,
+                block_size=blk, query_block=blk,
                 query_idx=ids, corpus_idx=ids,
             )
         else:
@@ -429,6 +430,16 @@ def cmd_evaluate(args) -> int:
         metrics.pop("_dist")
     print(json.dumps(metrics))
     return 0
+
+
+def _set_block_size(smax: int, budget_mb: float = 64.0) -> int:
+    """Block edge for chunk-set streaming: the transient redux tensor is
+    (block, block, smax, smax) f32 — size the block so it stays within
+    ``budget_mb`` device memory."""
+    import math
+
+    b = int(math.sqrt(budget_mb * 1e6 / max(1, smax * smax) / 4))
+    return max(16, min(2048, b))
 
 
 def _pad_chunk_sets(all_sets, all_masks, n_rows):
@@ -572,11 +583,12 @@ def _evaluate_mm_test_mode(args, config, model, sig) -> int:
             streaming_relevant_ranks,
         )
 
+        blk = _set_block_size(sets.shape[1])
         ranks, n_rel = streaming_relevant_ranks(
             sets, sets, labels, labels,
             mode="cos", redux=args.redux,
             query_mask=mask, corpus_mask=mask,
-            block_size=256, query_block=256,
+            block_size=blk, query_block=blk,
             query_idx=ids, corpus_idx=ids,
         )
         metrics = map_from_ranks(ranks, n_rel, topk=(10,))

@@ -120,3 +120,64 @@ class TestMultihost:
         info = initialize_multihost()
         assert info["process_count"] == 1
         assert is_primary_host()
+
+
+class TestMultirateCQT:
+    """True (multirate) CQT vs the direct full-rate per-bin convolution."""
+
+    def test_matches_direct_reference(self):
+        from wealy_tpu.audio.cqt import cqt_multirate, direct_cqt_reference
+
+        sr, hop = 16000, 512
+        fmin = 32.703194
+        t = np.arange(sr) / sr
+        f1, f2, f3 = (fmin * 2 ** (k / 12) for k in (6, 42, 78))
+        x = (
+            0.7 * np.sin(2 * np.pi * f1 * t)
+            + 0.5 * np.sin(2 * np.pi * f2 * t)
+            + 0.3 * np.sin(2 * np.pi * f3 * t)
+        ).astype(np.float32)
+        got = np.asarray(cqt_multirate(x, hop=hop))
+        want = direct_cqt_reference(x, hop=hop)
+        assert got.shape == want.shape == (84, 32)
+        g, w = got[:, 4:-4], want[:, 4:-4]  # interior frames
+        denom = float(np.max(np.abs(w)))
+        # worst case sits on the most-decimated octave (kaiser passband +
+        # phase accumulation over 6 halvings); typical octaves are ~2e-4
+        assert np.max(np.abs(g - w)) / denom < 0.08
+        for o in range(1, 7):
+            sl = slice(o * 12, (o + 1) * 12)
+            assert np.max(np.abs(g[sl] - w[sl])) / denom < 0.02, o
+
+    def test_unit_gain_at_bin_centers(self):
+        from wealy_tpu.audio.cqt import cqt_multirate
+
+        sr, fmin = 16000, 32.703194
+        t = np.arange(2 * sr) / sr
+        for k, amp in ((3, 1.0), (40, 0.5), (80, 0.25)):
+            f = fmin * 2 ** (k / 12)
+            x = (amp * np.sin(2 * np.pi * f * t)).astype(np.float32)
+            c = np.asarray(cqt_multirate(x))
+            interior = c[:, 6:-6]
+            peak_bin = int(interior.mean(axis=1).argmax())
+            assert peak_bin == k, (peak_bin, k)
+            np.testing.assert_allclose(interior[k].mean(), amp, rtol=0.02)
+
+    def test_batched_and_jittable(self):
+        import jax
+        import jax.numpy as jnp
+
+        from wealy_tpu.audio.cqt import cqt_multirate
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 16000)).astype(np.float32)
+        out = np.asarray(jax.jit(cqt_multirate)(jnp.asarray(x)))
+        assert out.shape == (2, 84, 32)
+        single = np.asarray(cqt_multirate(x[1]))
+        np.testing.assert_allclose(out[1], single, rtol=1e-5, atol=1e-6)
+
+    def test_hop_grid_constraint(self):
+        from wealy_tpu.audio.cqt import cqt_multirate
+
+        with np.testing.assert_raises(AssertionError):
+            cqt_multirate(np.zeros(16000, np.float32), hop=100)

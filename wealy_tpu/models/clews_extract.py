@@ -34,11 +34,16 @@ def make_clews_extractor(
     encoder_kwargs: Optional[dict] = None,
     params=None,
     seed: int = 0,
+    cqt_method: str = "pseudo",
 ):
     """Build ``extract(audio (T,)) -> dict`` with the hs_clews trio.
 
     Random-init params unless ``params`` given (trained CLEWS weights are not
     distributable here; the extractor is the production plumbing).
+
+    ``cqt_method``: "pseudo" (triangular filterbank on STFT, default) or
+    "multirate" (the exact constant-Q transform,
+    :func:`wealy_tpu.audio.cqt.cqt_multirate`).
     """
     enc = ClewsWindowEncoder(
         n_windows=n_windows,
@@ -68,7 +73,12 @@ def make_clews_extractor(
             audio = np.pad(audio, (0, need - len(audio)))
         else:
             audio = audio[:need]
-        cqt = cqt_spectrogram(audio, n_bins=n_bins, hop=hop)  # (n_bins, ~frames)
+        if cqt_method == "multirate":
+            from wealy_tpu.audio.cqt import cqt_multirate
+
+            cqt = cqt_multirate(audio, n_bins=n_bins, hop=hop)
+        else:
+            cqt = cqt_spectrogram(audio, n_bins=n_bins, hop=hop)  # (n_bins, ~frames)
         cqt = np.asarray(cqt)[:, :total_frames]
         if cqt.shape[1] < total_frames:
             cqt = np.pad(cqt, ((0, 0), (0, total_frames - cqt.shape[1])))
@@ -98,7 +108,9 @@ def extract_clews_split(
     from wealy_tpu.data.audio_dataset import AudioDataset
     from wealy_tpu.data.embedding_store import EmbeddingStore
 
-    extractor = extractor or make_clews_extractor()
+    extractor = extractor or make_clews_extractor(
+        cqt_method=getattr(config.model, "cqt_method", "pseudo")
+    )
     store = EmbeddingStore(config.path.hidden_states, config.data.dataset_name)
     ds = AudioDataset(metadata, split, config.path.data)
 

@@ -120,6 +120,7 @@ class ModelConfig:
     zdim: int = 512
     whisper_size: str = "tiny"  # extraction model (tiny..large-v3-turbo)
     scan_layers: bool = True  # nn.scan encoder stack (compile-scalable)
+    cqt_method: str = "pseudo"  # CLEWS frontend: {pseudo, multirate (exact CQT)}
 
 
 @dataclasses.dataclass

@@ -38,7 +38,7 @@ def hf_pair():
         decoder_attention_heads=2,
         encoder_ffn_dim=256,
         decoder_ffn_dim=256,
-        max_source_positions=1500,
+        max_source_positions=96,  # parity is length-invariant; 1500 costs ~10s/test on 1 CPU core
         max_target_positions=32,
         pad_token_id=0,
         bos_token_id=0,
@@ -54,11 +54,12 @@ def hf_pair():
 
     with torch.no_grad():
         hf.encoder.embed_positions.weight.copy_(
-            torch.tensor(_np.asarray(sinusoids_jnp(1500, 64)))
+            torch.tensor(_np.asarray(sinusoids_jnp(96, 64)))
         )
 
     cfg = WhisperConfig(
         n_mels=80,
+        n_audio_ctx=96,
         n_audio_state=64,
         n_audio_head=2,
         n_audio_layer=2,
@@ -75,7 +76,7 @@ def hf_pair():
 @pytest.fixture(scope="module")
 def mel():
     rng = np.random.default_rng(1)
-    return rng.normal(size=(2, 80, 3000)).astype(np.float32) * 0.5
+    return rng.normal(size=(2, 80, 192)).astype(np.float32) * 0.5
 
 
 class TestEncoderParity:
@@ -87,7 +88,7 @@ class TestEncoderParity:
         got = np.asarray(model.apply({"params": params["encoder"]}, mel))
         with torch.no_grad():
             want = hf.encoder(torch.tensor(mel)).last_hidden_state.numpy()
-        assert got.shape == want.shape == (2, 1500, 64)
+        assert got.shape == want.shape == (2, 96, 64)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 

@@ -665,6 +665,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     e = sub.add_parser("extract", help="extract Whisper embeddings to the store")
     e.add_argument("--config", required=True)
+    e.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace to DIR")
     e.add_argument("--split", default="train")
     e.add_argument("--kinds", default="x_concat,hs_last_seq")
     e.add_argument("--hf-checkpoint", default=None)
@@ -722,12 +724,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("train", help="metric-learning training")
     t.add_argument("--config", required=True)
+    t.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace to DIR")
     t.add_argument("--max-steps", type=int, default=None)
     t.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
     t.set_defaults(fn=cmd_train)
 
     ev = sub.add_parser("evaluate", help="MAP/MR1 retrieval evaluation")
     ev.add_argument("--config", required=True)
+    ev.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace to DIR")
     ev.add_argument("--split", default="test")
     ev.add_argument("--checkpoint", default=None)
     ev.add_argument("--redux", default="bpwr")
@@ -784,6 +790,18 @@ def _apply_platform_env() -> None:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _apply_platform_env()
+    if getattr(args, "profile", None):
+        # capture a TensorBoard-loadable device trace of the whole command
+        # (jax.profiler; SURVEY.md §5.1). View with
+        # `tensorboard --logdir <dir>` or xprof.
+        from wealy_tpu.utils.profiling import start_trace, stop_trace
+
+        start_trace(args.profile)
+        try:
+            return args.fn(args)
+        finally:
+            stop_trace()
+            print(f"[profile] device trace written to {args.profile}", file=sys.stderr)
     return args.fn(args)
 
 

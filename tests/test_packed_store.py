@@ -53,6 +53,42 @@ class TestPackRoundtrip:
         )
         assert len(packed) == 3
 
+    def test_3d_kinds_roundtrip(self, tmp_path):
+        """hs_last_all-style (n_chunks, max_len, D) arrays pack and load in
+        their original shape with correct offsets (regression: flat-row
+        offsets were counted as shape[0], corrupting every later version)."""
+        rng = np.random.default_rng(3)
+        arrays = {
+            "a": rng.normal(size=(2, 5, 8)).astype(np.float32),
+            "b": rng.normal(size=(3, 5, 8)).astype(np.float32),
+            "c": rng.normal(size=(4, 8)).astype(np.float32),  # mixed ranks ok
+            "d": rng.normal(size=(8,)).astype(np.float32),  # 1-D -> (1, 8)
+        }
+        packed = PackedStore.pack(tmp_path, "hs_last_all", arrays.items())
+        for k in ("a", "b"):
+            got = packed.load(k)
+            assert got.shape == arrays[k].shape
+            np.testing.assert_array_equal(
+                got, arrays[k].astype(np.float16).astype(np.float32)
+            )
+        assert packed.load("c").shape == (4, 8)
+        assert packed.load("d").shape == (1, 8)
+        # reopen from disk
+        fresh = PackedStore(tmp_path, "hs_last_all")
+        np.testing.assert_array_equal(fresh.load("b"), packed.load("b"))
+
+    def test_bin_manifest_mismatch_detected(self, tmp_path):
+        """A bin that doesn't match its manifest (interrupted repack) must
+        make the pack read as absent, never serve misaligned rows."""
+        rng = np.random.default_rng(4)
+        PackedStore.pack(
+            tmp_path, "k", [("a", rng.normal(size=(3, 8)).astype(np.float32))]
+        )
+        # simulate: new bin landed, old manifest survived
+        with open(tmp_path / "packed_k.bin", "ab") as f:
+            f.write(b"\x00" * 16)
+        assert not PackedStore(tmp_path, "k").available
+
     def test_inconsistent_dim_raises(self, tmp_path):
         rows = [("a", np.zeros((2, 8))), ("b", np.zeros((2, 12)))]
         with pytest.raises(ValueError, match="inconsistent"):

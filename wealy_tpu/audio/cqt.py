@@ -198,6 +198,10 @@ def cqt_multirate(
     for o in range(n_oct):
         hop_o = hop >> o
         half = L // 2
+        if x.shape[1] <= half:
+            # deep octaves of short clips: reflect padding needs dim > width;
+            # extend with silence (static shapes — resolved at trace time)
+            x = jnp.pad(x, ((0, 0), (0, half + 1 - x.shape[1])))
         xp = jnp.pad(x, ((0, 0), (half, half)), mode="reflect")
         starts = jnp.arange(n_frames) * hop_o
         idx = starts[:, None] + jnp.arange(L)[None, :]

@@ -302,9 +302,18 @@ def make_decoder_embed_fn(
         from wealy_tpu.parallel.tp import make_tp_mesh, shard_params, tp_decode_fn
 
         assert mesh is None, "pass either mesh (dp) or tp (>1), not both"
+        # rebuild with the XLA attention path: the Pallas flash kernel has no
+        # GSPMD partitioning rule, so under a model-sharded mesh the encoder
+        # must use the einsum attention (partitions cleanly by heads). The
+        # param tree is identical, so the loaded params are reused as-is.
+        model = Whisper(
+            wcfg, dtype=model.dtype, scan_layers=model.scan_layers, use_flash=False
+        )
         mesh2d = make_tp_mesh(n_model=tp)
         params = shard_params(params, mesh2d)
-        tp_decode = tp_decode_fn(model, mesh2d, wcfg, prompt, max_len=max_len)
+        tp_decode = tp_decode_fn(
+            model, mesh2d, wcfg, prompt, max_len=max_len, cross_kv_dtype=kv_dtype
+        )
 
         @jax.jit
         def _mel(audio):

@@ -95,20 +95,10 @@ def cmd_extract(args) -> int:
             "incomplete": result["incomplete"],
             "throughput": result["throughput"],
         }))
-        if args.pack and result["done"]:
-            from wealy_tpu.data.embedding_store import EmbeddingStore
-            from wealy_tpu.data.packed_store import pack_from_store
-
-            store = EmbeddingStore(
-                config.path.hidden_states, config.data.dataset_name
-            )
-            versions = sorted(
-                v for c in md.splits[args.split].values() for v in c
-            )
-            packed = pack_from_store(
-                store, versions, f"{kind}.npz", config.path.hidden_states
-            )
-            print(json.dumps({"packed": len(packed), "kind": packed.kind}))
+        if args.pack:
+            # unconditional: packing depends only on what's on disk, not on
+            # whether THIS run extracted anything (resumed runs skip all)
+            _pack_kind(config, md, args.split, kind)
         return 0 if not result["incomplete"] else 1
     result = extract_split(
         config,
@@ -125,7 +115,20 @@ def cmd_extract(args) -> int:
             | {"failed_keys": result["failed"][:20]}
         )
     )
+    if args.pack:
+        for kind in args.kinds.split(","):
+            _pack_kind(config, md, args.split, kind)
     return 0 if not result["failed"] else 1
+
+
+def _pack_kind(config, md, split: str, kind: str) -> None:
+    from wealy_tpu.data.embedding_store import EmbeddingStore
+    from wealy_tpu.data.packed_store import pack_from_store
+
+    store = EmbeddingStore(config.path.hidden_states, config.data.dataset_name)
+    versions = sorted(v for c in md.splits[split].values() for v in c)
+    packed = pack_from_store(store, versions, f"{kind}.npz", config.path.hidden_states)
+    print(json.dumps({"packed": len(packed), "kind": packed.kind}))
 
 
 def cmd_transcribe(args) -> int:
@@ -466,51 +469,30 @@ def _evaluate_mm_test_mode(args, config, model, sig) -> int:
     collate_functions.py:54-88) or overlapping whisper-sequence windows
     (the use_overlapping_chunks branch, :253-374) — each embedded with the
     song's CLEWS context, per-song z chunk sets scored with
-    distance_tensor_redux (SURVEY.md §3.4)."""
+    distance_tensor_redux (SURVEY.md §3.4).
+
+    Memory discipline: songs stream through in ``--song-group`` groups;
+    whisper windows are zero-copy ``sliding_window_view`` slices assembled
+    per encode slab, and the song's CLEWS context is gathered per slab —
+    host state never exceeds one group's sequences plus the accumulated
+    per-song z chunk sets (n_chunks x zdim each).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from wealy_tpu.data.collate_factory import (
-        wealy_test_mode_items,
-        whisper_clews_test_mode_items,
-    )
     from wealy_tpu.data.multimodal import WealyClewsDataset, WhisperClewsDataset
-    from wealy_tpu.eval.retrieval import rank_metrics, slabbed_apply, song_distance_matrix
+    from wealy_tpu.eval.retrieval import rank_metrics, song_distance_matrix
     from wealy_tpu.train.checkpoint import CheckpointManager
+    from wealy_tpu.train.multimodal import make_model_call
 
     ds_cls = WealyClewsDataset if sig == "wealy" else WhisperClewsDataset
     ds = ds_cls(config, args.split, n_per_class=1, seed=0)
-    items = [ds[i] for i in range(len(ds))]
-    if sig == "wealy":
-        songs = wealy_test_mode_items(items)
-    else:
-        songs = whisper_clews_test_mode_items(
-            items,
-            chunk_size=config.data.chunk_size,
-            overlap=config.data.overlap_percentage,
-        )
-
-    # flatten: one row per (song, chunk), CLEWS context repeated per chunk
-    rows_w, rows_wv, rows_fc, rows_cm, song_of = [], [], [], [], []
-    for si, s in enumerate(songs):
-        if sig == "wealy":
-            chunks = np.atleast_2d(np.asarray(s["wealy_all_chunks"], np.float32))
-            valids = [None] * len(chunks)
-        else:
-            chunks = np.asarray(s["whisper_chunks"], np.float32)
-            valids = np.asarray(s["whisper_chunk_valid"], bool)
-        for c, v in zip(chunks, valids):
-            rows_w.append(c)
-            if v is not None:
-                rows_wv.append(v)
-            rows_fc.append(np.asarray(s["full_clews"], np.float32))
-            rows_cm.append(np.asarray(s["clews_mask"], bool))
-            song_of.append(si)
-    rows_w = np.stack(rows_w)
-    rows_fc = np.stack(rows_fc)
-    rows_cm = np.stack(rows_cm)
-    song_of = np.asarray(song_of)
+    L = config.data.chunk_size
+    stride = max(1, L - int(L * config.data.overlap_percentage))
+    slab = max(1, args.encode_slab)
+    song_group = max(1, args.song_group)
+    model_call = make_model_call(config.model.name, model, sig)
 
     params = None
     if args.checkpoint or config.path.checkpoints:
@@ -518,63 +500,116 @@ def _evaluate_mm_test_mode(args, config, model, sig) -> int:
         if mgr.latest_step() is not None:
             params = mgr.restore()["params"]
 
-    from wealy_tpu.train.multimodal import make_model_call
+    embed = None  # jitted per fixed slab shape, built on first slab
 
-    model_call = make_model_call(config.model.name, model, sig)
-    if sig == "wealy":
-        if params is None:
-            params = model.init(
-                jax.random.PRNGKey(0),
-                jnp.asarray(rows_w[:2]),
-                jnp.asarray(rows_fc[:2]),
-                ~jnp.asarray(rows_cm[:2]),
-            )["params"]
-        embed = jax.jit(
-            lambda w, fc, cm: model_call(
-                params, {"wealy": w, "full_clews": fc, "clews_mask": cm}
-            )
-        )
-        z = slabbed_apply(
-            embed, rows_w, rows_fc, rows_cm, slab_size=args.encode_slab
-        )
-    else:  # two_stream / dual: overlapping whisper windows + CLEWS context
-        rows_wv = np.stack(rows_wv)
-        if params is None:
-            params = model.init(
-                jax.random.PRNGKey(0),
-                jnp.asarray(rows_w[:2]),
-                jnp.asarray(rows_wv[:2]),
-                jnp.asarray(rows_fc[:2]),
-                ~jnp.asarray(rows_cm[:2]),
-            )["params"]
-        embed = jax.jit(
-            lambda w, wv, fc, cm: model_call(
-                params,
-                {
+    def _songs_of_group(items):
+        """Per-song dicts with a lazy chunk accessor (no window copies)."""
+        out = []
+        for label, versions in items:
+            for vid, mm in versions:
+                if sig == "wealy":
+                    chunks = np.atleast_2d(
+                        np.asarray(mm["wealy"]["embeddings"], np.float32)
+                    )
+                    valid = np.ones((chunks.shape[0], 1), bool)
+                else:
+                    seq = np.asarray(mm["whisper_seq"], np.float32)
+                    T, C = seq.shape
+                    if T <= L:
+                        w = np.zeros((1, L, C), np.float32)
+                        w[0, :T] = seq
+                        v = np.zeros((1, L), bool)
+                        v[0, :T] = True
+                        chunks, valid = w, v
+                    else:
+                        # zero-copy overlapping windows (reference stride
+                        # semantics: fully-inside windows, tail-drop)
+                        chunks = np.lib.stride_tricks.sliding_window_view(
+                            seq, L, axis=0
+                        )[::stride].transpose(0, 2, 1)
+                        valid = np.ones((chunks.shape[0], L), bool)
+                out.append(
+                    {
+                        "clique_id": label,
+                        "version_id": vid,
+                        "chunks": chunks,
+                        "chunk_valid": valid,
+                        "full_clews": np.asarray(mm["full_clews"], np.float32),
+                        "clews_mask": np.asarray(mm["clews_mask"], bool),
+                    }
+                )
+        return out
+
+    z_sets, labels, ids = [], [], []
+    versions = list(range(len(ds)))
+    for g0 in range(0, len(versions), song_group):
+        items = [ds[i] for i in versions[g0 : g0 + song_group]]
+        songs = _songs_of_group(items)
+        refs = [
+            (si, ci)
+            for si, s in enumerate(songs)
+            for ci in range(s["chunks"].shape[0])
+        ]
+        group_z = [np.zeros((s["chunks"].shape[0], 0)) for s in songs]
+        zs = []
+        for s0 in range(0, len(refs), slab):
+            batch = refs[s0 : s0 + slab]
+            pad = slab - len(batch)
+            batch_p = batch + [batch[0]] * pad
+            w = np.stack([songs[si]["chunks"][ci] for si, ci in batch_p])
+            fc = np.stack([songs[si]["full_clews"] for si, ci in batch_p])
+            cm = np.stack([songs[si]["clews_mask"] for si, ci in batch_p])
+            if sig == "wealy":
+                feed = {"wealy": w, "full_clews": fc, "clews_mask": cm}
+            else:
+                wv = np.stack([songs[si]["chunk_valid"][ci] for si, ci in batch_p])
+                feed = {
                     "whisper_seq": w,
                     "whisper_mask": ~wv,  # batch convention: True = invalid
                     "full_clews": fc,
                     "clews_mask": cm,
-                },
+                }
+            if params is None:
+                probe = {k: jnp.asarray(v[:2]) for k, v in feed.items()}
+                if sig == "wealy":
+                    params = model.init(
+                        jax.random.PRNGKey(0), probe["wealy"],
+                        probe["full_clews"], ~probe["clews_mask"],
+                    )["params"]
+                else:
+                    params = model.init(
+                        jax.random.PRNGKey(0), probe["whisper_seq"],
+                        ~probe["whisper_mask"], probe["full_clews"],
+                        ~probe["clews_mask"],
+                    )["params"]
+            if embed is None:
+                embed = jax.jit(lambda p, b: model_call(p, b))
+            z = np.asarray(
+                embed(params, {k: jnp.asarray(v) for k, v in feed.items()})
             )
-        )
-        z = slabbed_apply(
-            embed, rows_w, rows_wv, rows_fc, rows_cm, slab_size=args.encode_slab
-        )
+            zs.append(z[: slab - pad] if pad else z)
+        z_flat = np.concatenate(zs, axis=0) if zs else np.zeros((0, 1))
+        for row, (si, ci) in enumerate(refs):
+            if group_z[si].shape[1] == 0:
+                group_z[si] = np.zeros(
+                    (songs[si]["chunks"].shape[0], z_flat.shape[-1]), np.float32
+                )
+            group_z[si][ci] = z_flat[row]
+        z_sets.extend(group_z)
+        labels.extend(s["clique_id"] for s in songs)
+        ids.extend(s["version_id"] for s in songs)
 
-    # regroup chunk z's into per-song sets, pad to the max chunk count
-    S = len(songs)
-    counts = np.bincount(song_of, minlength=S)
-    max_chunks = int(counts.max())
-    sets = np.zeros((S, max_chunks, z.shape[-1]), np.float32)
+    # pad per-song z sets to the global max chunk count
+    S = len(z_sets)
+    max_chunks = max(zc.shape[0] for zc in z_sets)
+    zdim = max(zc.shape[1] for zc in z_sets)
+    sets = np.zeros((S, max_chunks, zdim), np.float32)
     mask = np.zeros((S, max_chunks), bool)
-    slot = np.zeros(S, np.int64)
-    for row, si in enumerate(song_of):
-        sets[si, slot[si]] = z[row]
-        mask[si, slot[si]] = True
-        slot[si] += 1
-    labels = np.array([s["clique_id"] for s in songs])
-    ids = np.array([s["version_id"] for s in songs])
+    for i, zc in enumerate(z_sets):
+        sets[i, : zc.shape[0]] = zc
+        mask[i, : zc.shape[0]] = True
+    labels = np.asarray(labels)
+    ids = np.asarray(ids)
     if args.streaming:
         # corpus-scale: block-streamed chunk-set redux ranking (no (S, S)
         # matrix, no (S, S, s1, s2) tensor — one block pair at a time)

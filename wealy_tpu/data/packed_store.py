@@ -6,26 +6,49 @@ right interop/extraction format but a poor *training* format: every sampled
 item costs an open+decompress. This module is the SURVEY.md §5.4 "resumable
 embedding store (one array file per shard with a manifest)": all rows of one
 embedding kind are concatenated into a single fp16 binary, the manifest maps
-version_key -> (row_offset, n_rows), and reads are zero-copy ``np.memmap``
+version_key -> (row_offset, shape), and reads are zero-copy ``np.memmap``
 slices (the OS page cache replaces any hand-rolled RAM cache), upcast to
-fp32 at the boundary per the reference's fp16->fp32 semantics.
+fp32 at the boundary per the reference's fp16->fp32 semantics. Arrays of any
+rank are supported ((T, C) for hs_last_seq, (n_chunks, max_len, C) for
+hs_last_all, ...) — only the trailing dim must be uniform.
 
 Layout under ``root``:
   packed_{kind}.bin   — C-contiguous (total_rows, dim) little-endian bytes
-  packed_{kind}.json  — {"dim", "dtype", "versions": {key: [offset, rows]}}
+  packed_{kind}.json  — {"dim", "dtype", "bin_bytes", "fingerprint",
+                          "versions": {key: [flat_row_offset, shape...]}}
 
-Packs are written atomically (tmp + rename) so a crashed pack job never
-leaves a readable-but-truncated pair behind; repacking is idempotent.
+Packs are written atomically (tmp + fsync + rename, manifest last). Because
+bin and manifest are two files, the reader verifies the manifest's recorded
+binary size and head/tail fingerprint on open — a crash between the two
+renames (new bin + old manifest) is detected and the pack is treated as
+absent rather than silently serving misaligned rows.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
+import logging
 import os
 from pathlib import Path
 from typing import Dict, Iterable, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _fingerprint(path: Path) -> str:
+    """sha1 over the first and last 4 KiB + size — cheap bin/manifest
+    consistency check (not a content hash)."""
+    size = path.stat().st_size
+    h = hashlib.sha1(str(size).encode())
+    with open(path, "rb") as f:
+        h.update(f.read(4096))
+        if size > 4096:
+            f.seek(max(0, size - 4096))
+            h.update(f.read(4096))
+    return h.hexdigest()
 
 
 class PackedStore:
@@ -39,14 +62,29 @@ class PackedStore:
         self.bin_path = self.root / f"packed_{self.kind}.bin"
         self.manifest_path = self.root / f"packed_{self.kind}.json"
         self._mmap: Optional[np.memmap] = None
-        self._index: Dict[str, tuple] = {}
+        self._index: Dict[str, tuple] = {}  # key -> (flat_row_offset, shape)
         self._dim = 0
         self._dtype = np.float16
         if self.manifest_path.exists() and self.bin_path.exists():
             meta = json.loads(self.manifest_path.read_text())
+            ok = True
+            if "bin_bytes" in meta and self.bin_path.stat().st_size != meta["bin_bytes"]:
+                ok = False
+            if ok and "fingerprint" in meta and _fingerprint(self.bin_path) != meta["fingerprint"]:
+                ok = False
+            if not ok:
+                logger.warning(
+                    "packed store %s does not match its manifest (interrupted "
+                    "repack?) — ignoring the pack; repack with `wealy_tpu pack`",
+                    self.bin_path,
+                )
+                return
             self._dim = int(meta["dim"])
             self._dtype = np.dtype(meta.get("dtype", "float16"))
-            self._index = {k: (int(o), int(n)) for k, (o, n) in meta["versions"].items()}
+            self._index = {
+                k: (int(v[0]), tuple(int(d) for d in v[1:]))
+                for k, v in meta["versions"].items()
+            }
 
     @property
     def available(self) -> bool:
@@ -60,19 +98,23 @@ class PackedStore:
 
     def _rows(self) -> np.memmap:
         if self._mmap is None:
-            total = sum(n for _, n in self._index.values())
+            total = sum(
+                int(np.prod(shape[:-1], dtype=np.int64)) for _, shape in self._index.values()
+            )
             self._mmap = np.memmap(
                 self.bin_path, dtype=self._dtype, mode="r", shape=(total, self._dim)
             )
         return self._mmap
 
     def load(self, version_key: str) -> Optional[np.ndarray]:
-        """(T, C) fp32 array for a version, or None if not packed."""
+        """fp32 array in its original shape, or None if not packed."""
         ent = self._index.get(version_key)
         if ent is None:
             return None
-        off, n = ent
-        return np.asarray(self._rows()[off : off + n], dtype=np.float32)
+        off, shape = ent
+        n = int(np.prod(shape[:-1], dtype=np.int64))
+        flat = self._rows()[off : off + n]
+        return np.asarray(flat, dtype=np.float32).reshape(shape)
 
     @classmethod
     def pack(
@@ -82,11 +124,13 @@ class PackedStore:
         arrays: Iterable[tuple],
         dtype=np.float16,
     ) -> "PackedStore":
-        """Write a pack from ``(version_key, (T, C) array)`` pairs.
+        """Write a pack from ``(version_key, array)`` pairs (any rank >= 1;
+        1-D arrays are stored as (1, dim)).
 
         Streams one version at a time (bounded host memory), writes to a tmp
-        file, fsyncs, then renames both files — a crashed pack never leaves a
-        readable partial pair.
+        file, fsyncs, renames the bin then the manifest; the reader's
+        size+fingerprint check turns any crash window into "pack absent",
+        never misaligned reads.
         """
         root = Path(root)
         root.mkdir(parents=True, exist_ok=True)
@@ -106,18 +150,24 @@ class PackedStore:
                         f"{a.shape[-1]} != {dim}"
                     )
                 f.write(a.tobytes())
-                index[key] = [offset, a.shape[0]]
-                offset += a.shape[0]
+                index[key] = [offset, *a.shape]
+                offset += int(np.prod(a.shape[:-1], dtype=np.int64))
             f.flush()
             os.fsync(f.fileno())
+        bin_final = root / f"packed_{kind}.bin"
+        os.replace(bin_tmp, bin_final)
         manifest = {
             "dim": int(dim or 0),
             "dtype": np.dtype(dtype).name,
+            "bin_bytes": bin_final.stat().st_size,
+            "fingerprint": _fingerprint(bin_final),
             "versions": index,
         }
         man_tmp = root / f".packed_{kind}.json.tmp"
-        man_tmp.write_text(json.dumps(manifest))
-        os.replace(bin_tmp, root / f"packed_{kind}.bin")
+        with open(man_tmp, "w") as f:
+            f.write(json.dumps(manifest))
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(man_tmp, root / f"packed_{kind}.json")
         return cls(root, kind)
 

@@ -214,6 +214,7 @@ class ResidualAttentionBlock(nn.Module):
     n_head: int
     cross_attention: bool = False
     dtype: Any = jnp.bfloat16
+    use_flash: bool = True
 
     @nn.compact
     def __call__(
@@ -234,7 +235,8 @@ class ResidualAttentionBlock(nn.Module):
             )(x, only_kv=True)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="attn_ln")(x).astype(self.dtype)
         attn_out, new_cache = MultiHeadAttention(
-            self.n_state, self.n_head, dtype=self.dtype, name="attn"
+            self.n_state, self.n_head, dtype=self.dtype,
+            use_flash=self.use_flash, name="attn"
         )(h, mask=mask, kv_cache=kv_cache, cache_index=cache_index)
         x = x + attn_out
 
@@ -328,11 +330,13 @@ class _ScanBlockBody(nn.Module):
     n_state: int
     n_head: int
     dtype: Any = jnp.bfloat16
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, carry, _):
         y, _ = ResidualAttentionBlock(
-            self.n_state, self.n_head, dtype=self.dtype, name="block"
+            self.n_state, self.n_head, dtype=self.dtype,
+            use_flash=self.use_flash, name="block"
         )(carry)
         return y, None
 
@@ -353,6 +357,8 @@ class WhisperEncoder(nn.Module):
     config: WhisperConfig
     dtype: Any = jnp.bfloat16
     scan_layers: bool = False
+    use_flash: bool = True  # set False under TP meshes (Pallas kernels have
+    # no GSPMD partitioning rule; the XLA einsum path partitions by heads)
 
     @nn.compact
     def __call__(self, mel):
@@ -386,12 +392,14 @@ class WhisperEncoder(nn.Module):
                 length=cfg.n_audio_layer,
             )
             x, _ = Scan(
-                cfg.n_audio_state, cfg.n_audio_head, dtype=self.dtype, name="blocks"
+                cfg.n_audio_state, cfg.n_audio_head, dtype=self.dtype,
+                use_flash=self.use_flash, name="blocks"
             )(x, None)
         else:
             for i in range(cfg.n_audio_layer):
                 x, _ = ResidualAttentionBlock(
-                    cfg.n_audio_state, cfg.n_audio_head, dtype=self.dtype, name=f"block_{i}"
+                    cfg.n_audio_state, cfg.n_audio_head, dtype=self.dtype,
+                    use_flash=self.use_flash, name=f"block_{i}"
                 )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x)
         return x.astype(self.dtype)
@@ -588,10 +596,12 @@ class Whisper(nn.Module):
     config: WhisperConfig
     dtype: Any = jnp.bfloat16
     scan_layers: bool = False
+    use_flash: bool = True
 
     def setup(self):
         self.encoder = WhisperEncoder(
-            self.config, dtype=self.dtype, scan_layers=self.scan_layers
+            self.config, dtype=self.dtype, scan_layers=self.scan_layers,
+            use_flash=self.use_flash,
         )
         self.decoder = WhisperDecoder(
             self.config, dtype=self.dtype, scan_layers=self.scan_layers

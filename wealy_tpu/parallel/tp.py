@@ -15,7 +15,8 @@ is the standard Megatron split, expressed purely through parameter shardings
 
 Use ``use_flash=False`` models under TP: the Pallas attention kernel has no
 GSPMD partitioning rule, while the XLA einsum attention partitions cleanly
-along the head axis.
+along the head axis. (The extract --tp CLI path rebuilds its model with
+use_flash=False automatically; library callers must pass it themselves.)
 """
 
 from __future__ import annotations
@@ -87,7 +88,10 @@ def make_tp_mesh(
     return Mesh(devices.reshape(n_data, n_model), axis_names=("data", "model"))
 
 
-def tp_decode_fn(model, mesh: Mesh, config, prompt, max_len: int = 224, eot=None):
+def tp_decode_fn(
+    model, mesh: Mesh, config, prompt, max_len: int = 224, eot=None,
+    cross_kv_dtype=None,
+):
     """Jitted TP greedy decode (the hs_last_* extraction workload at
     Whisper-large scale): params TP-sharded via :func:`shard_params`, clip
     batch sharded over ``data``, width/heads split over ``model``.
@@ -110,7 +114,8 @@ def tp_decode_fn(model, mesh: Mesh, config, prompt, max_len: int = 224, eot=None
         mel = jax.lax.with_sharding_constraint(mel, mel_sharding)
         states = model.apply({"params": params}, mel, method=Whisper.encode)
         out = greedy_decode(
-            model, params, states, config, prompt=prompt, max_len=max_len, eot=eot
+            model, params, states, config, prompt=prompt, max_len=max_len,
+            eot=eot, cross_kv_dtype=cross_kv_dtype,
         )
         return {
             k: jax.lax.with_sharding_constraint(

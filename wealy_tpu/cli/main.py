@@ -366,8 +366,28 @@ def cmd_evaluate(args) -> int:
         )["params"]
 
     # one jit for (slab, L, C); songs stream through in groups so host memory
-    # holds one group's overlapping-chunk tensor at a time, never the corpus
-    embed = jax.jit(lambda e, m: model.apply({"params": params}, e, m))
+    # holds one group's overlapping-chunk tensor at a time, never the corpus.
+    # With >1 device the slab batch is sharded over the mesh's data axis and
+    # the streaming rank passes run mesh-sharded (slab sizes stay static, so
+    # this is the same compile either way).
+    from wealy_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    _apply = jax.jit(lambda e, m: model.apply({"params": params}, e, m))
+    if mesh is not None:
+        from wealy_tpu.parallel.mesh import data_sharding
+
+        n_dev = mesh.shape["data"]
+
+        def embed(e, m):
+            if e.shape[0] % n_dev:  # tiny corpora / trailing odd slab
+                return _apply(e, m)
+            return _apply(
+                jax.device_put(e, data_sharding(mesh, 3)),
+                jax.device_put(m, data_sharding(mesh, 2)),
+            )
+    else:
+        embed = _apply
     song_group = max(1, args.song_group)
 
     song_vecs, all_sets, all_masks, labels, ids = [], [], [], [], []
@@ -412,7 +432,7 @@ def cmd_evaluate(args) -> int:
             blk = _set_block_size(sets.shape[1])
             ranks, n_rel = streaming_relevant_ranks(
                 sets, sets, labels, labels,
-                mode="cos", redux=args.redux,
+                mode="cos", redux=args.redux, mesh=mesh,
                 query_mask=set_mask, corpus_mask=set_mask,
                 block_size=blk, query_block=blk,
                 query_idx=ids, corpus_idx=ids,
@@ -421,7 +441,7 @@ def cmd_evaluate(args) -> int:
             vecs = np.concatenate(song_vecs, axis=0)
             ranks, n_rel = streaming_relevant_ranks(
                 vecs, vecs, labels, labels,
-                mode="cos", query_idx=ids, corpus_idx=ids,
+                mode="cos", mesh=mesh, query_idx=ids, corpus_idx=ids,
             )
         metrics = map_from_ranks(ranks, n_rel, topk=(10,))
     else:

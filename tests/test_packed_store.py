@@ -72,7 +72,7 @@ class TestPackRoundtrip:
                 got, arrays[k].astype(np.float16).astype(np.float32)
             )
         assert packed.load("c").shape == (4, 8)
-        assert packed.load("d").shape == (1, 8)
+        assert packed.load("d").shape == (8,)  # 1-D preserved
         # reopen from disk
         fresh = PackedStore(tmp_path, "hs_last_all")
         np.testing.assert_array_equal(fresh.load("b"), packed.load("b"))
@@ -192,3 +192,71 @@ class TestPackCLI:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["versions_packed"] == 6
         assert PackedStore(tmp_path / "hs", "hs_last_seq").available
+
+
+class TestMultimodalPackFastPath:
+    def test_wealy_dataset_reads_packs(self, tmp_path):
+        """All four WEALY+CLEWS modality files read through packs when
+        packed; values match per-version loads (mask bools survive the fp16
+        pack roundtrip as exact 0/1)."""
+        import pandas as pd
+
+        from wealy_tpu.data.multimodal import WealyClewsDataset
+        from wealy_tpu.train.config import Config
+
+        lc = tmp_path / "lc"
+        lc.mkdir()
+        rows = {
+            "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A"),
+                      (2, 200, False, "o", "B"), (2, 201, True, "c", "B")],
+            "val": [(3, 300, False, "o", "C"), (3, 301, True, "c", "C")],
+            "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D")],
+        }
+        for split, data in rows.items():
+            pd.DataFrame(
+                data,
+                columns=["original_id", "id", "is_cover", "song_text_type", "label"],
+            ).to_csv(lc / f"{split}_no_dup.csv", index=False)
+        store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+        rng = np.random.default_rng(5)
+        for data in rows.values():
+            for r in data:
+                vid = str(r[1])
+                store.save(vid, "hs_wealy_concat.npz",
+                           embeddings=rng.normal(size=(3, 16)).astype(np.float32))
+                store.save(vid, "hs_clews.npz",
+                           embeddings=rng.normal(size=(6, 12)).astype(np.float32))
+                store.save(vid, "hs_clews_avg.npz",
+                           embeddings=rng.normal(size=(12,)).astype(np.float32))
+                store.save(vid, "hs_clews_mask.npz",
+                           embeddings=(rng.random(6) > 0.5))
+        conf = Config.from_dict(
+            {
+                "path": {"lyric_covers_data": str(lc),
+                         "hidden_states": str(tmp_path / "hs"),
+                         "cache": str(tmp_path / "cache")},
+                "data": {"dataset_name": "lyric-covers"},
+                "model": {"name": "wealy-clews", "zdim": 16},
+            }
+        )
+        ds_plain = WealyClewsDataset(conf, "train", seed=0)
+        want = {
+            v: ds_plain.load_multimodal(v) for v in ds_plain.sampler.versions
+        }
+
+        for kind in ("hs_wealy_concat.npz", "hs_clews.npz",
+                     "hs_clews_avg.npz", "hs_clews_mask.npz"):
+            pack_from_store(store, sorted(want), kind, tmp_path / "hs")
+
+        ds_packed = WealyClewsDataset(conf, "train", seed=0)
+        for v, mm_want in want.items():
+            mm = ds_packed.load_multimodal(v)
+            assert mm["wealy"]["extraction_method"] == "packed"
+            np.testing.assert_array_equal(
+                mm["wealy"]["embeddings"], mm_want["wealy"]["embeddings"]
+            )
+            np.testing.assert_array_equal(mm["full_clews"], mm_want["full_clews"])
+            np.testing.assert_array_equal(mm["avg_clews"], mm_want["avg_clews"])
+            assert mm["avg_clews"].shape == mm_want["avg_clews"].shape
+            np.testing.assert_array_equal(mm["clews_mask"], mm_want["clews_mask"])
+            assert mm["clews_mask"].dtype == bool

@@ -67,7 +67,27 @@ class MultimodalEmbeddingDataset(EmbeddingDataset):
         }
 
     # -- loading --------------------------------------------------------
+    def _packed_load(self, version_key: str, filename: str):
+        """Memory-mapped fast path (`wealy_tpu pack --kind <filename>`):
+        one PackedStore per modality file, probed lazily; None = not packed
+        (fall through to the per-version store)."""
+        packs = getattr(self, "_packs", None)
+        if packs is None:
+            packs = self._packs = {}
+        if filename not in packs:
+            from wealy_tpu.data.packed_store import PackedStore
+
+            root = self.config.path.hidden_states
+            packs[filename] = PackedStore(root, filename) if root else None
+        pack = packs[filename]
+        if pack is None or not pack.available:
+            return None
+        return pack.load(version_key)
+
     def _load_array(self, version_key: str, filename: str, key: str = "embeddings"):
+        packed = self._packed_load(version_key, filename)
+        if packed is not None:
+            return packed
         data = self.store.load(version_key, filename) if self.store else None
         if data is None:
             return None
@@ -123,6 +143,21 @@ class WealyClewsDataset(MultimodalEmbeddingDataset):
     FILES = WEALY_FILES
 
     def load_multimodal(self, version_key: str) -> Dict[str, np.ndarray]:
+        packed = self._packed_load(version_key, "hs_wealy_concat.npz")
+        if packed is not None:
+            # chunk_info is derivable from the packed shape
+            wealy = {
+                "embeddings": np.atleast_2d(packed),
+                "chunk_info": {"total_chunks": int(np.atleast_2d(packed).shape[0])},
+                "extraction_method": "packed",
+            }
+            full, avg, mask = self._load_clews_trio(version_key)
+            return {
+                "wealy": wealy,
+                "full_clews": full,
+                "avg_clews": avg,
+                "clews_mask": mask,
+            }
         wealy = self.store.load(version_key, "hs_wealy_concat.npz") if self.store else None
         zdim = self.config.model.zdim
         if wealy is None:

@@ -141,7 +141,8 @@ class PackedStore:
         offset = 0
         with open(bin_tmp, "wb") as f:
             for key, arr in arrays:
-                a = np.ascontiguousarray(np.atleast_2d(np.asarray(arr)), dtype=dtype)
+                orig = np.asarray(arr)
+                a = np.ascontiguousarray(np.atleast_2d(orig), dtype=dtype)
                 if dim is None:
                     dim = a.shape[-1]
                 elif a.shape[-1] != dim:
@@ -150,7 +151,9 @@ class PackedStore:
                         f"{a.shape[-1]} != {dim}"
                     )
                 f.write(a.tobytes())
-                index[key] = [offset, *a.shape]
+                # record the ORIGINAL shape (1-D kinds like hs_clews_avg load
+                # back as (D,), not (1, D)); flat-row offsets stay 2-D
+                index[key] = [offset, *orig.shape]
                 offset += int(np.prod(a.shape[:-1], dtype=np.int64))
             f.flush()
             os.fsync(f.fileno())

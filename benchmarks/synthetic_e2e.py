@@ -98,6 +98,8 @@ def main(argv=None) -> int:
                    help="evaluate with exact chunk-set redux streaming "
                         "(--streaming --chunk-sets) instead of pooling")
     p.add_argument("--redux", default="smean")
+    p.add_argument("--pack", action="store_true",
+                   help="pack embeddings into the mmap store before training")
     p.add_argument("--overlap", type=float, default=None,
                    help="test-time window overlap (default config 0.9)")
     args = p.parse_args(argv)
@@ -138,6 +140,15 @@ def main(argv=None) -> int:
     import contextlib
     import io
 
+    t_pack = None
+    if args.pack:
+        t0 = time.perf_counter()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli_main(["pack", "--config", str(cpath)])
+        assert rc == 0, buf.getvalue()[-2000:]
+        t_pack = round(time.perf_counter() - t0, 1)
+
     t0 = time.perf_counter()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -164,7 +175,7 @@ def main(argv=None) -> int:
                    "train_cliques": args.train_cliques, "build_s": round(t_corpus, 1)},
         "train": {"steps": train_out.get("final_step"),
                   "final_loss": train_out.get("final_loss"),
-                  "wall_s": round(t_train, 1)},
+                  "wall_s": round(t_train, 1), "pack_s": t_pack},
         "evaluate": dict(metrics, wall_s=round(t_eval, 1)),
     }))
     if not args.keep and args.workdir is None:

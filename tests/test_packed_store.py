@@ -89,6 +89,22 @@ class TestPackRoundtrip:
             f.write(b"\x00" * 16)
         assert not PackedStore(tmp_path, "k").available
 
+    def test_duplicate_keys_pack_once(self, tmp_path):
+        """Duplicate version keys (the reference's SHS split files share 5
+        rows between VAL and TEST) must not advance offsets twice —
+        regression: every entry after a duplicate read misaligned rows."""
+        rng = np.random.default_rng(6)
+        a = rng.normal(size=(3, 8)).astype(np.float32)
+        b = rng.normal(size=(2, 8)).astype(np.float32)
+        c = rng.normal(size=(4, 8)).astype(np.float32)
+        packed = PackedStore.pack(tmp_path, "k", [("a", a), ("b", b), ("b", b), ("c", c)])
+        assert len(packed) == 3
+        np.testing.assert_array_equal(
+            packed.load("c"), c.astype(np.float16).astype(np.float32)
+        )
+        fresh = PackedStore(tmp_path, "k")
+        np.testing.assert_array_equal(fresh.load("c"), packed.load("c"))
+
     def test_inconsistent_dim_raises(self, tmp_path):
         rows = [("a", np.zeros((2, 8))), ("b", np.zeros((2, 12)))]
         with pytest.raises(ValueError, match="inconsistent"):

@@ -141,6 +141,11 @@ class PackedStore:
         offset = 0
         with open(bin_tmp, "wb") as f:
             for key, arr in arrays:
+                if key in index:
+                    # duplicate version keys (e.g. the 5 rows shared between
+                    # the reference's SHS VAL and TEST split files) must not
+                    # advance the offset twice — first occurrence wins
+                    continue
                 orig = np.asarray(arr)
                 a = np.ascontiguousarray(np.atleast_2d(orig), dtype=dtype)
                 if dim is None:

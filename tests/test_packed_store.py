@@ -276,3 +276,37 @@ class TestMultimodalPackFastPath:
             assert mm["avg_clews"].shape == mm_want["avg_clews"].shape
             np.testing.assert_array_equal(mm["clews_mask"], mm_want["clews_mask"])
             assert mm["clews_mask"].dtype == bool
+
+
+class TestStaleness:
+    def test_stale_pack_ignored(self, store_tree):
+        """Re-extracting per-version files after packing must disable the
+        pack (spot-check mtimes) instead of silently serving old values."""
+        import os
+        import time
+
+        from wealy_tpu.data.packed_store import PackedStore
+
+        store, arrays, root = store_tree
+        packed = pack_from_store(store, list(arrays), "hs_last_seq.npz", root)
+        assert not packed.newer_files_exist(store, "hs_last_seq.npz", list(arrays))
+        # simulate a fresh re-extraction of one version
+        p = store.path("101", "hs_last_seq.npz")
+        future = time.time() + 60
+        os.utime(p, (future, future))
+        fresh = PackedStore(root, "hs_last_seq")
+        assert fresh.newer_files_exist(store, "hs_last_seq.npz", list(arrays))
+
+    def test_old_manifest_format_ignored(self, tmp_path):
+        import json
+
+        from wealy_tpu.data.packed_store import PackedStore
+
+        rng = np.random.default_rng(7)
+        PackedStore.pack(tmp_path, "k", [("a", rng.normal(size=(3, 8)).astype(np.float32))])
+        # rewrite the manifest in the pre-shape format (no bin_bytes)
+        m = json.loads((tmp_path / "packed_k.json").read_text())
+        old = {"dim": m["dim"], "dtype": m["dtype"],
+               "versions": {"a": [0, 3]}}
+        (tmp_path / "packed_k.json").write_text(json.dumps(old))
+        assert not PackedStore(tmp_path, "k").available

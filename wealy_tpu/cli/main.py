@@ -126,7 +126,11 @@ def _pack_kind(config, md, split: str, kind: str) -> None:
     from wealy_tpu.data.packed_store import pack_from_store
 
     store = EmbeddingStore(config.path.hidden_states, config.data.dataset_name)
-    versions = sorted(v for c in md.splits[split].values() for v in c)
+    # the pack file is split-independent — always pack every split, or a
+    # per-split extract --pack would clobber an all-splits pack
+    versions = sorted(
+        v for s in ("train", "val", "test") for c in md.splits[s].values() for v in c
+    )
     packed = pack_from_store(store, versions, f"{kind}.npz", config.path.hidden_states)
     print(json.dumps({"packed": len(packed), "kind": packed.kind}))
 

@@ -198,14 +198,26 @@ class EmbeddingDataset:
         )
         # packed memory-mapped fast path (`wealy_tpu pack`): one binary per
         # kind next to the per-version tree; versions missing from the pack
-        # fall through to the per-version store below
+        # fall through to the per-version store below. A pack older than
+        # spot-checked per-version files (re-extracted without repacking) is
+        # ignored with a warning — correctness over speed.
         self.packed = None
         if config.path.hidden_states:
+            import logging
+
             from wealy_tpu.data.packed_store import PackedStore
 
             packed = PackedStore(config.path.hidden_states, self.filename)
             if packed.available:
-                self.packed = packed
+                probe = [v for v in packed._index][:64]
+                if packed.newer_files_exist(self.store, self.filename, probe):
+                    logging.getLogger(__name__).warning(
+                        "pack %s is older than re-extracted per-version files"
+                        " — ignoring it; run `wealy_tpu pack` to refresh",
+                        packed.bin_path,
+                    )
+                else:
+                    self.packed = packed
         self.metadata, self.clique2id = build_clean_dataset(
             config, debug=debug, check_audio=check_audio, verbose=verbose, store=self.store
         )

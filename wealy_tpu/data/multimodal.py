@@ -75,10 +75,22 @@ class MultimodalEmbeddingDataset(EmbeddingDataset):
         if packs is None:
             packs = self._packs = {}
         if filename not in packs:
+            import logging
+
             from wealy_tpu.data.packed_store import PackedStore
 
             root = self.config.path.hidden_states
-            packs[filename] = PackedStore(root, filename) if root else None
+            pack = PackedStore(root, filename) if root else None
+            if pack is not None and pack.available:
+                probe = [v for v in pack._index][:64]
+                if pack.newer_files_exist(self.store, filename, probe):
+                    logging.getLogger(__name__).warning(
+                        "pack %s is older than re-extracted per-version "
+                        "files — ignoring it; run `wealy_tpu pack` to refresh",
+                        pack.bin_path,
+                    )
+                    pack = None
+            packs[filename] = pack
         pack = packs[filename]
         if pack is None or not pack.available:
             return None
@@ -145,20 +157,20 @@ class WealyClewsDataset(MultimodalEmbeddingDataset):
     def load_multimodal(self, version_key: str) -> Dict[str, np.ndarray]:
         packed = self._packed_load(version_key, "hs_wealy_concat.npz")
         if packed is not None:
-            # chunk_info is derivable from the packed shape
+            # chunk_info is derivable from the packed shape; flows into the
+            # normalization branch below like a store dict would
+            packed = np.atleast_2d(packed)
             wealy = {
-                "embeddings": np.atleast_2d(packed),
-                "chunk_info": {"total_chunks": int(np.atleast_2d(packed).shape[0])},
+                "embeddings": packed,
+                "chunk_info": {"total_chunks": int(packed.shape[0])},
                 "extraction_method": "packed",
             }
-            full, avg, mask = self._load_clews_trio(version_key)
-            return {
-                "wealy": wealy,
-                "full_clews": full,
-                "avg_clews": avg,
-                "clews_mask": mask,
-            }
-        wealy = self.store.load(version_key, "hs_wealy_concat.npz") if self.store else None
+        else:
+            wealy = (
+                self.store.load(version_key, "hs_wealy_concat.npz")
+                if self.store
+                else None
+            )
         zdim = self.config.model.zdim
         if wealy is None:
             wealy = {

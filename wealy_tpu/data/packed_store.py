@@ -68,7 +68,15 @@ class PackedStore:
         if self.manifest_path.exists() and self.bin_path.exists():
             meta = json.loads(self.manifest_path.read_text())
             ok = True
-            if "bin_bytes" in meta and self.bin_path.stat().st_size != meta["bin_bytes"]:
+            if "bin_bytes" not in meta:
+                # pre-shape-manifest format ([offset, n_rows] entries, no
+                # consistency fields) — unreadable by this layout; repack
+                logger.warning(
+                    "packed store %s uses an old manifest format — ignoring; "
+                    "repack with `wealy_tpu pack`", self.bin_path,
+                )
+                ok = False
+            elif self.bin_path.stat().st_size != meta["bin_bytes"]:
                 ok = False
             if ok and "fingerprint" in meta and _fingerprint(self.bin_path) != meta["fingerprint"]:
                 ok = False
@@ -105,6 +113,22 @@ class PackedStore:
                 self.bin_path, dtype=self._dtype, mode="r", shape=(total, self._dim)
             )
         return self._mmap
+
+    def newer_files_exist(self, store, filename: str, versions, sample: int = 8) -> bool:
+        """Spot-check staleness: True if any sampled per-version file is
+        newer than the pack binary (user re-extracted without repacking).
+        Callers should then prefer the per-version path and warn."""
+        try:
+            bin_mtime = self.bin_path.stat().st_mtime
+        except OSError:
+            return True
+        versions = list(versions)
+        step = max(1, len(versions) // max(1, sample))
+        for v in versions[::step][:sample]:
+            p = store.path(v, filename) if store else None
+            if p is not None and p.stat().st_mtime > bin_mtime:
+                return True
+        return False
 
     def load(self, version_key: str) -> Optional[np.ndarray]:
         """fp32 array in its original shape, or None if not packed."""
@@ -187,7 +211,7 @@ def pack_from_store(store, versions, filename: str, root: str | Path) -> "Packed
     """
 
     def rows():
-        for v in versions:
+        for v in dict.fromkeys(versions):  # dedupe without re-reading dupes
             data = store.load(v, filename)
             if data is None:
                 continue

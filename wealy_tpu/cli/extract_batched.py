@@ -109,6 +109,13 @@ def extract_split_batched(
     ds = AudioDataset(metadata, split, config.path.data)
     filename = f"{kind}.npz"
 
+    if jax.process_count() > 1:
+        # pod scale: each host owns a deterministic round-robin shard of the
+        # version list (per-version files -> no write coordination needed)
+        from wealy_tpu.parallel.multihost import host_shard
+
+        ds.versions = host_shard(ds.versions)
+
     if not overwrite:
         versions = [v for v in (ds.versions[:limit] if limit else ds.versions)
                     if not store.exists(v, filename)]
@@ -199,6 +206,11 @@ def extract_split_batched_decoder(
     ds = AudioDataset(metadata, split, config.path.data)
     filename = f"{kind}.npz"
     flatten = kind.startswith("hs_last_seq")
+
+    if jax.process_count() > 1:
+        from wealy_tpu.parallel.multihost import host_shard
+
+        ds.versions = host_shard(ds.versions)
 
     if not overwrite:
         versions = [v for v in (ds.versions[:limit] if limit else ds.versions)

@@ -41,3 +41,17 @@ def initialize_multihost(
 
 def is_primary_host() -> bool:
     return jax.process_index() == 0
+
+
+def host_shard(seq, process_index: Optional[int] = None, process_count: Optional[int] = None):
+    """Deterministic per-host work shard (round-robin, balanced to within
+    one item): every host processes ``seq[process_index::process_count]``.
+
+    The extraction drivers apply this to the version list so a pod-scale
+    extract runs embarrassingly parallel per host; the embedding store is
+    per-version files, so no write coordination is needed, and the
+    missing-work census (store.verify) stays global.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(seq)[pi::pc]

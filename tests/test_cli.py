@@ -79,7 +79,7 @@ def project(tmp_path):
             "chunk_size": 8,
             "use_random_chunks": True,
         },
-        "model": {"name": "whisper", "zdim": 16, "whisper_size": "tiny"},
+        "model": {"name": "whisper", "zdim": 16, "whisper_size": "dev"},
         "train": {
             "loss": "clews",
             "batch_size": 4,
@@ -194,7 +194,7 @@ class TestExtractCLI:
 
         store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
         data = store.load("100", "x_concat.npz")
-        assert data["embeddings"].shape == (1, 384)  # 1 chunk, tiny encoder dim
+        assert data["embeddings"].shape == (1, 64)  # 1 chunk, dev encoder dim
 
 
 class TestEvaluateMultimodalCLI:

@@ -80,7 +80,7 @@ def project(tmp_path_factory):
                 "data": str(tmp_path / "data"),
             },
             "data": {"dataset_name": "lyric-covers"},
-            "model": {"whisper_size": "tiny"},
+            "model": {"whisper_size": "dev"},
         }
     )
     return config, tmp_path

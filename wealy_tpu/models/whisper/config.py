@@ -78,6 +78,10 @@ def _cfg(d, h, enc_l, dec_l, n_mels=80, n_vocab=51865):
 
 
 WHISPER_CONFIGS = {
+    # "dev": not a published Whisper size — a 1-layer width-64 stand-in with
+    # the real mel/ctx/vocab geometry, for smoke tests and CI (full tiny
+    # costs ~10 s per forward on 1-core CPU runners)
+    "dev": _cfg(64, 2, 1, 1),
     "tiny": _cfg(384, 6, 4, 4),
     "base": _cfg(512, 8, 6, 6),
     "small": _cfg(768, 12, 12, 12),

@@ -127,7 +127,10 @@ class TestTrainCLI:
         assert out["final_step"] == 6
         assert np.isfinite(out["final_loss"])
 
-    @pytest.mark.parametrize("name", ["wealy-clews", "multimodal-two-stream"])
+    @pytest.mark.parametrize("name", ["wealy-clews", "multimodal-two-stream",
+                                      "multimodal-cross-attention",
+                                      "multimodal-concatenation",
+                                      "multimodal-cross-attention-residual"])
     def test_trains_multimodal(self, project, capsys, name):
         tmp_path, cpath, _ = project
         conf = json.loads(cpath.read_text())
@@ -198,7 +201,8 @@ class TestExtractCLI:
 
 
 class TestEvaluateMultimodalCLI:
-    @pytest.mark.parametrize("name", ["wealy-clews", "multimodal-two-stream"])
+    @pytest.mark.parametrize("name", ["wealy-clews", "multimodal-two-stream",
+                                      "multimodal-cross-attention"])
     def test_eval_runs(self, project, capsys, name):
         tmp_path, cpath, _ = project
         conf = json.loads(cpath.read_text())

@@ -73,11 +73,16 @@ class TestFusionModels:
         ],
     )
     def test_dual_models(self, rng, key, name):
+        """These names train on the reference's WEALY 5-item format: one
+        (C,) WEALY chunk embedding per version + CLEWS context (sig
+        "wealy"; the vector enters the sequence-fusion module as a
+        length-1 query via WealyQueryFusion)."""
         wseq, wmask, cseq, cmask = self._inputs(rng)
+        wvec = wseq[:, 0, :]  # (B, C) WEALY chunk embedding
         model, sig = build_model(name, zdim=32)
-        assert sig == "dual"
-        params = model.init(key, wseq, wmask, cseq, cmask)["params"]
-        z = model.apply({"params": params}, wseq, wmask, cseq, cmask)
+        assert sig == "wealy"
+        params = model.init(key, wvec, cseq, cmask)["params"]
+        z = model.apply({"params": params}, wvec, cseq, cmask)
         assert z.shape == (4, 32)
         assert np.isfinite(np.asarray(z)).all()
 

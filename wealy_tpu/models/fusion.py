@@ -106,6 +106,24 @@ class TwoStreamModel(nn.Module):
         return z, zw, zc
 
 
+class WealyQueryFusion(nn.Module):
+    """Adapter matching the reference's data contract for the
+    multimodal-cross-attention / multimodal-concatenation /
+    multimodal-cross-attention-residual names: these train on the WEALY
+    5-item format (ONE precomputed (512,) WEALY chunk embedding per version
+    + the CLEWS context — lib/embedding_dataset/collate_functions.py:428-571),
+    not on raw whisper sequences. The WEALY vector enters the underlying
+    sequence-fusion module as a length-1 query sequence."""
+
+    inner: nn.Module
+
+    @nn.compact
+    def __call__(self, wealy_vec, clews_seq, clews_mask=None):
+        q = wealy_vec[:, None, :]  # (B, 1, C)
+        qm = jnp.ones(q.shape[:2], bool)
+        return self.inner(q, qm, clews_seq, clews_mask)
+
+
 class WealyClewsModel(nn.Module):
     """wealy-clews: precomputed WEALY chunk embedding (B, 512) (one chunk per
     song at train time — lib/embedding_dataset/collate_functions.py:9-51)

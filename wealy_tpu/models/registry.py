@@ -17,6 +17,7 @@ from wealy_tpu.models.fusion import (
     CrossAttentionFusion,
     TwoStreamModel,
     WealyClewsModel,
+    WealyQueryFusion,
 )
 from wealy_tpu.models.heads import ProjectionHead
 
@@ -37,7 +38,10 @@ def build_model(name: str, zdim: int = 512, dtype: Any = jnp.float32, **kwargs):
     Returns (module, signature) where signature in:
       - "single"    : (emb, mask) -> z
       - "wealy"     : (wealy_vec, clews_seq, clews_mask) -> z
+        (wealy-clews AND the cross-attention/concatenation family — the
+        reference trains all four on the WEALY 5-item collate)
       - "dual"      : (whisper_seq, whisper_mask, clews_seq, clews_mask) -> z
+        (library signature of the raw sequence-fusion modules)
       - "two_stream": same inputs as dual -> (z, z_whisper, z_clews)
     """
     if name == "whisper":
@@ -46,10 +50,23 @@ def build_model(name: str, zdim: int = 512, dtype: Any = jnp.float32, **kwargs):
         return WealyClewsModel(zdim=zdim, dtype=dtype, **kwargs), "wealy"
     if name in ("whisper-clews", "multimodal-two-stream"):
         return TwoStreamModel(zdim=zdim, dtype=dtype, **kwargs), "two_stream"
+    # the cross-attention / concatenation family trains on the WEALY 5-item
+    # format per the reference's collate dispatch (collate_functions.py:
+    # 428-571): one (512,) WEALY chunk embedding per version + CLEWS context.
+    # WealyQueryFusion adapts that vector into the sequence-fusion modules as
+    # a length-1 query, so their data signature is "wealy".
     if name == "multimodal-cross-attention":
-        return CrossAttentionFusion(zdim=zdim, dtype=dtype, **kwargs), "dual"
+        return (
+            WealyQueryFusion(CrossAttentionFusion(zdim=zdim, dtype=dtype, **kwargs)),
+            "wealy",
+        )
     if name == "multimodal-concatenation":
-        return ConcatFusion(zdim=zdim, dtype=dtype, **kwargs), "dual"
+        return WealyQueryFusion(ConcatFusion(zdim=zdim, dtype=dtype, **kwargs)), "wealy"
     if name == "multimodal-cross-attention-residual":
-        return CrossAttentionFusion(zdim=zdim, residual=True, dtype=dtype, **kwargs), "dual"
+        return (
+            WealyQueryFusion(
+                CrossAttentionFusion(zdim=zdim, residual=True, dtype=dtype, **kwargs)
+            ),
+            "wealy",
+        )
     raise KeyError(f"unknown model name {name!r}; available: {MODEL_NAMES}")

@@ -398,3 +398,21 @@ class TestStreamingBoundedMemory:
         # 25K clusters in 8-D overlap heavily, so absolute MAP is modest —
         # assert far above chance (3 relevant / 100K candidates => ~3e-5)
         assert m["MAP"] > 0.05
+
+
+class TestHostShard:
+    def test_round_robin_partition(self):
+        from wealy_tpu.parallel.multihost import host_shard
+
+        items = [f"v{i}" for i in range(11)]
+        shards = [host_shard(items, process_index=i, process_count=3) for i in range(3)]
+        # disjoint, complete, balanced to within one item
+        assert sorted(sum(shards, [])) == sorted(items)
+        assert {len(s) for s in shards} <= {3, 4}
+        assert shards[0] == ["v0", "v3", "v6", "v9"]
+
+    def test_single_process_identity(self):
+        from wealy_tpu.parallel.multihost import host_shard
+
+        items = list(range(5))
+        assert host_shard(items) == items  # process_count()==1 in tests

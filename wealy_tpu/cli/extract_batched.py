@@ -25,6 +25,7 @@ from wealy_tpu.data.audio_dataset import AudioDataset
 from wealy_tpu.data.embedding_store import EmbeddingStore
 from wealy_tpu.data.metadata import Metadata
 from wealy_tpu.models.whisper.extract import chunk_waveform
+from wealy_tpu.parallel.multihost import host_shard
 from wealy_tpu.train.config import Config
 from wealy_tpu.utils.prefetch import prefetch
 from wealy_tpu.utils.profiling import ThroughputMeter
@@ -109,19 +110,18 @@ def extract_split_batched(
     ds = AudioDataset(metadata, split, config.path.data)
     filename = f"{kind}.npz"
 
-    if jax.process_count() > 1:
-        # pod scale: each host owns a deterministic round-robin shard of the
-        # version list (per-version files -> no write coordination needed)
-        from wealy_tpu.parallel.multihost import host_shard
-
-        ds.versions = host_shard(ds.versions)
+    # --limit keeps its single-host meaning at pod scale: cap the GLOBAL
+    # list first, then shard it round-robin per host (host_shard is the
+    # identity when process_count()==1)
+    if limit:
+        ds.versions = ds.versions[:limit]
+    limit = None
+    ds.versions = host_shard(ds.versions)
 
     if not overwrite:
-        versions = [v for v in (ds.versions[:limit] if limit else ds.versions)
-                    if not store.exists(v, filename)]
-        skipped = (len(ds.versions[:limit] if limit else ds.versions) - len(versions))
+        versions = [v for v in ds.versions if not store.exists(v, filename)]
+        skipped = len(ds.versions) - len(versions)
         ds.versions = versions
-        limit = None
     else:
         skipped = 0
 
@@ -169,7 +169,9 @@ def extract_split_batched(
     # any partially-filled accumulators indicate a bug; record them
     incomplete = sorted(accs.keys())
     audit_dir = config.path.cache or config.path.working_dir
-    if audit_dir:
+    if audit_dir and jax.process_count() == 1:
+        # at pod scale every host would race-write the global resume lists
+        # while others are mid-extraction; run the audit as a post-step
         store.verify(metadata, filename, out_dir=audit_dir)
     return {
         "done": done,
@@ -207,17 +209,16 @@ def extract_split_batched_decoder(
     filename = f"{kind}.npz"
     flatten = kind.startswith("hs_last_seq")
 
-    if jax.process_count() > 1:
-        from wealy_tpu.parallel.multihost import host_shard
-
-        ds.versions = host_shard(ds.versions)
+    # global --limit semantics, then per-host round-robin (see encoder driver)
+    if limit:
+        ds.versions = ds.versions[:limit]
+    limit = None
+    ds.versions = host_shard(ds.versions)
 
     if not overwrite:
-        versions = [v for v in (ds.versions[:limit] if limit else ds.versions)
-                    if not store.exists(v, filename)]
-        skipped = (len(ds.versions[:limit] if limit else ds.versions) - len(versions))
+        versions = [v for v in ds.versions if not store.exists(v, filename)]
+        skipped = len(ds.versions) - len(versions)
         ds.versions = versions
-        limit = None
     else:
         skipped = 0
 
@@ -265,7 +266,8 @@ def extract_split_batched_decoder(
 
     incomplete = sorted(hidden_acc.keys())
     audit_dir = config.path.cache or config.path.working_dir
-    if audit_dir:
+    if audit_dir and jax.process_count() == 1:
+        # pod scale: see the encoder driver — audit post-hoc, not per host
         store.verify(metadata, filename, out_dir=audit_dir)
     return {
         "done": done,
@@ -321,7 +323,9 @@ def make_decoder_embed_fn(
         model = Whisper(
             wcfg, dtype=model.dtype, scan_layers=model.scan_layers, use_flash=False
         )
-        mesh2d = make_tp_mesh(n_model=tp)
+        # TP over HOST-LOCAL chips: extraction data is host-sharded, so the
+        # model axis must not span hosts (each host runs its own TP program)
+        mesh2d = make_tp_mesh(n_model=tp, devices=jax.local_devices())
         params = shard_params(params, mesh2d)
         tp_decode = tp_decode_fn(
             model, mesh2d, wcfg, prompt, max_len=max_len, cross_kv_dtype=kv_dtype

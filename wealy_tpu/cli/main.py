@@ -46,7 +46,11 @@ def cmd_extract(args) -> int:
         )
         from wealy_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        # HOST-LOCAL mesh: extraction work is host-sharded (different batch
+        # counts per host), so a cross-host SPMD mesh would deadlock on the
+        # unequal step counts — each host drives only its own chips
+        local = jax.local_devices()
+        mesh = make_mesh(devices=local) if len(local) > 1 else None
         kind = args.kinds.split(",")[0]
         if kind.startswith("hs_last"):
             from wealy_tpu.cli.extract_batched import (
@@ -96,9 +100,18 @@ def cmd_extract(args) -> int:
             "throughput": result["throughput"],
         }))
         if args.pack:
-            # unconditional: packing depends only on what's on disk, not on
-            # whether THIS run extracted anything (resumed runs skip all)
-            _pack_kind(config, md, args.split, kind)
+            if jax.process_count() > 1:
+                # other hosts may still be extracting their shards; a pack
+                # now would be partial and concurrently overwritten
+                print(
+                    "[extract] --pack skipped at pod scale: run "
+                    "`wealy_tpu pack` once after all hosts finish",
+                    file=sys.stderr,
+                )
+            else:
+                # unconditional otherwise: packing depends only on what's on
+                # disk, not on whether THIS run extracted anything
+                _pack_kind(config, md, args.split, kind)
         return 0 if not result["incomplete"] else 1
     result = extract_split(
         config,

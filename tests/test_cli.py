@@ -160,6 +160,29 @@ class TestEvaluateCLI:
         assert out["MAP"] > 0.9
 
 
+class TestAvgPoolingEvaluate:
+    def test_avg_pooling_mode(self, project, capsys, tmp_path):
+        """data.use_avg_pooling: time collapses to one vector per song before
+        the model (reference collate_functions.py:131-172); streaming and
+        monolithic paths agree."""
+        root, cpath, _ = project
+        conf = json.loads(cpath.read_text())
+        conf["data"]["use_avg_pooling"] = True
+        cpath2 = root / "conf_avg.json"
+        cpath2.write_text(json.dumps(conf))
+        out = {}
+        for flags in ([], ["--streaming"]):
+            rc = main(["evaluate", "--config", str(cpath2), "--split", "test",
+                       "--redux", "smean", *flags])
+            assert rc == 0
+            out[bool(flags)] = json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1]
+            )
+        assert out[False]["n_queries"] == 4
+        assert out[True]["MAP"] == out[False]["MAP"]
+        assert out[True]["MR1"] == out[False]["MR1"]
+
+
 class TestExtractCLI:
     def test_extract_two_songs(self, project, capsys):
         tmp_path, cpath, rows = project

@@ -415,13 +415,31 @@ def cmd_evaluate(args) -> int:
              [(int(ds.metadata.info[v]["id"]), ds.load_embedding(v))])
             for v in group
         ]
-        batch = collate_overlapping(
-            items, chunk_size=L, overlap=config.data.overlap_percentage
-        )
-        z = slabbed_apply(
-            embed, batch.embeddings, batch.masks, slab_size=args.encode_slab
-        )
-        sets, set_mask, bidx, _ = regroup_chunks(z, batch.chunk_info, batch.chunk_valid)
+        if config.data.use_avg_pooling:
+            # reference avg-pooling test mode (collate_functions.py:131-172):
+            # time collapses to one vector per song BEFORE the model; the
+            # head sees a length-1 sequence -> one z per song (1-chunk set)
+            pooled = np.stack([
+                np.asarray(emb, np.float32).mean(axis=0)
+                for _, [(vid, emb)] in items
+            ])[:, None, :]
+            z = slabbed_apply(
+                embed, pooled, np.ones(pooled.shape[:2], bool),
+                slab_size=args.encode_slab,
+            )
+            sets = z[:, None, :]
+            set_mask = np.ones((len(items), 1), bool)
+            bidx = list(range(len(items)))
+        else:
+            batch = collate_overlapping(
+                items, chunk_size=L, overlap=config.data.overlap_percentage
+            )
+            z = slabbed_apply(
+                embed, batch.embeddings, batch.masks, slab_size=args.encode_slab
+            )
+            sets, set_mask, bidx, _ = regroup_chunks(
+                z, batch.chunk_info, batch.chunk_valid
+            )
         labels.extend(items[i][0] for i in bidx)
         ids.extend(items[i][1][0][0] for i in bidx)
         if args.streaming and not args.chunk_sets:

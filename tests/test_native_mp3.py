@@ -167,3 +167,24 @@ class TestMp3Decode:
         assert item.waveform.dtype == np.float32
         assert abs(len(item.waveform) - 16000) < 2500  # resampled to 16 kHz
         assert float(np.abs(item.waveform).max()) > 0.1  # not dummy silence
+
+
+class TestGarbageInput:
+    def test_non_mp3_bytes_error_not_hang(self, tmp_path):
+        """Renamed non-MP3 garbage must return an error promptly — mpg123 can
+        loop on persistent resync errors without consuming input (regression:
+        the retry loop is now bounded)."""
+        import numpy as np
+        import pytest
+
+        from wealy_tpu import native
+
+        if not native.mp3_available():
+            pytest.skip("libmpg123 not present")
+        data = np.random.default_rng(0).bytes(200_000)
+        import time
+
+        t0 = time.time()
+        with pytest.raises((RuntimeError, ValueError)):
+            native.decode_mp3_bytes(data)
+        assert time.time() - t0 < 30

@@ -47,14 +47,14 @@ def hf_pair():
     )
     hf = WhisperModel(hf_cfg).eval()
     # HF random-inits the encoder position table; align it with the exact
-    # table our encoder computes on device (sinusoids_jnp).
+    # host table our encoder's positions param initializes from.
     import numpy as _np
 
-    from wealy_tpu.models.whisper.model import sinusoids_jnp
+    from wealy_tpu.models.whisper.model import sinusoids
 
     with torch.no_grad():
         hf.encoder.embed_positions.weight.copy_(
-            torch.tensor(_np.asarray(sinusoids_jnp(96, 64)))
+            torch.tensor(_np.asarray(sinusoids(96, 64)))
         )
 
     cfg = WhisperConfig(

@@ -21,6 +21,8 @@ overwrite).
 
 from __future__ import annotations
 
+import zlib
+
 from pathlib import Path
 from typing import Callable, Optional
 
@@ -92,7 +94,7 @@ def transcribe_split(
                         (lambda ids: tokenizer.decode(list(ids)))
                         if tokenizer is not None else None
                     ),
-                    seed=abs(hash(version_key)) % (2**31),
+                    seed=zlib.crc32(version_key.encode()) & 0x7FFFFFFF,
                 )
                 if tokenizer is not None:
                     pieces = [res["text"] or ""]

@@ -112,10 +112,12 @@ class EmbeddingStore:
             return None
         try:
             if p.suffix == ".pt":
+                # torch raises RuntimeError/UnpicklingError/EOFError/... on
+                # truncated or corrupt payloads; all mean "missing work"
                 return load_pt(p)
             with np.load(p) as z:
                 return {k: _upcast(z[k]) for k in z.files}
-        except (OSError, ValueError):
+        except Exception:
             return None
 
     def save_pt(self, version_key: str, filename: str, **arrays: np.ndarray) -> Path:

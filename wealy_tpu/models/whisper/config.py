@@ -32,8 +32,10 @@ class WhisperConfig:
 
     @property
     def n_languages(self) -> int:
-        # large-v3 family (n_vocab 51866) added a 100th language (yue)
-        return 99 + (self.n_vocab - 51865)
+        # large-v3 family (n_vocab 51866) added a 100th language (yue);
+        # English-only vocabs (51864) keep the full 99-language token block
+        # (the specials list is identical, only the text vocab shrinks)
+        return 99 + max(0, self.n_vocab - 51865)
 
     @property
     def token_translate(self) -> int:

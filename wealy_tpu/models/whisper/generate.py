@@ -52,11 +52,11 @@ def init_kv_caches(config: WhisperConfig, batch: int, max_len: int, dtype=jnp.bf
 
 def detect_language(model: Whisper, params, audio_states, config: WhisperConfig):
     """Whisper language identification: one decoder step from <|sot|>, logits
-    restricted to the 99 language tokens.
+    restricted to the config's language-token block.
 
     Returns (lang_index (B,) int32 — 0 is English, feed to
     ``config.language_token`` / ``default_prompt(language=...)`` — and the
-    (B, 99) log-probabilities).
+    (B, n_languages) log-probabilities).
     """
     B = audio_states.shape[0]
     sot = jnp.full((B, 1), config.sot, dtype=jnp.int32)
@@ -64,7 +64,7 @@ def detect_language(model: Whisper, params, audio_states, config: WhisperConfig)
         {"params": params}, sot, audio_states, method=Whisper.decode
     )
     lang_logits = jax.lax.dynamic_slice_in_dim(
-        logits[:, 0], config.language_token(0), 99, axis=-1
+        logits[:, 0], config.language_token(0), config.n_languages, axis=-1
     )
     logp = jax.nn.log_softmax(lang_logits, axis=-1)
     return jnp.argmax(logp, axis=-1).astype(jnp.int32), logp
@@ -82,10 +82,15 @@ def greedy_decode(
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
     cross_kv_dtype=None,
+    xa_kv=None,
 ):
     """Decode from encoder states: greedy at ``temperature=0`` (default),
     categorical sampling otherwise (the long-form fallback ladder's sampled
     retries — see :mod:`wealy_tpu.models.whisper.longform`).
+
+    ``xa_kv``: precomputed cross-attention K/V (Whisper.precompute_cross_kv
+    output) — pass when decoding the same audio several times (the long-form
+    temperature-fallback ladder) to skip recomputing it per attempt.
 
     ``cross_kv_dtype``: optional storage dtype for the precomputed
     cross-attention K/V (e.g. ``jnp.float8_e4m3fn``). Decode steps are
@@ -140,9 +145,10 @@ def greedy_decode(
     # Cross-attention K/V once (the memory is constant across steps; without
     # this, every step re-projects 1500 encoder frames per layer — it
     # dominated the round-1 decoder extraction cost).
-    xa_kv = model.apply(
-        {"params": params}, audio_states, method=Whisper.precompute_cross_kv
-    )
+    if xa_kv is None:
+        xa_kv = model.apply(
+            {"params": params}, audio_states, method=Whisper.precompute_cross_kv
+        )
     if cross_kv_dtype is not None:
         xa_kv = [(k.astype(cross_kv_dtype), v.astype(cross_kv_dtype)) for k, v in xa_kv]
 
@@ -157,9 +163,13 @@ def greedy_decode(
         method=Whisper.decode,
     )
     hidden_buf = lax.dynamic_update_slice(hidden_buf, hid.astype(model.dtype), (0, 0, 0))
-    # voice-activity signal: p(<|nospeech|>) at the <|sot|> position (index 0
-    # of the prompt — openai-whisper's no_speech_prob)
-    sot_logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
+    # voice-activity signal: p(<|nospeech|>) at the <|sot|> position —
+    # openai-whisper's no_speech_prob. With long-form context carry-over the
+    # prompt is [<|startofprev|>, ctx..., <|sot|>, ...], so sot is NOT at
+    # index 0; find it in the prompt (static python ints).
+    _pl = list(prompt)
+    sot_index = _pl.index(config.sot) if config.sot in _pl else 0
+    sot_logp = jax.nn.log_softmax(logits[:, sot_index].astype(jnp.float32), axis=-1)
     nospeech_prob = jnp.exp(sot_logp[:, config.token_nospeech])
 
     next_tok, logp0 = _choose(_mask_logits(logits[:, -1]), jax.random.fold_in(rng, P))

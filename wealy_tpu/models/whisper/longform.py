@@ -91,12 +91,21 @@ def transcribe_longform(
 
     for c in range(n_chunks):
         states = audio_states[c : c + 1]
+        # cross-attention K/V depend only on the audio: compute once per
+        # chunk, shared across every temperature-fallback attempt
+        chunk_xa_kv = model.apply(
+            {"params": params}, states, method=Whisper.precompute_cross_kv
+        )
         k = _ctx_bucket(len(context))
         ctx_tail = context[-k:] if k else []
         prompt = (
             ([config.token_startofprev] + ctx_tail) if ctx_tail else []
         ) + base_prompt
 
+        # generation budget is max_len NEW tokens regardless of how much
+        # carried context pads the prompt (openai-whisper sample_len
+        # semantics); the KV buffer caps at the decoder's trained context
+        total_len = min(config.n_text_ctx, len(prompt) + max_len)
         chosen = None
         for t in temperatures:
             out = greedy_decode(
@@ -105,9 +114,10 @@ def transcribe_longform(
                 states,
                 config,
                 prompt=prompt,
-                max_len=max_len,
+                max_len=total_len,
                 temperature=float(t),
                 rng=jax.random.fold_in(rng, c * 101 + int(t * 10)),
+                xa_kv=chunk_xa_kv,
             )
             length = int(out["lengths"][0])
             gen = np.asarray(out["tokens"])[0, len(prompt) : length].tolist()
@@ -124,6 +134,15 @@ def transcribe_longform(
                 needs_fallback = True  # looping/repetitive output
             if logprob_threshold is not None and avg_logprob < logprob_threshold:
                 needs_fallback = True  # low-confidence output
+            if (
+                no_speech_threshold is not None
+                and float(out["nospeech_prob"][0]) > no_speech_threshold
+            ):
+                # confident silence: keep the t=0 result and let the
+                # voice-activity gate below skip the chunk — climbing the
+                # ladder would only sample hallucinations (openai-whisper's
+                # no-speech early exit)
+                needs_fallback = False
             chosen = {
                 "tokens": gen,
                 "temperature": float(t),

@@ -36,26 +36,6 @@ def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.
     )
 
 
-def sinusoids_jnp(length: int, channels: int, max_timescale: float = 10000.0):
-    """Device-computed sinusoids (traced ops, f32).
-
-    Used inside jit instead of embedding the numpy table as an MLIR constant:
-    for whisper-base+ the inlined 1500 x D f32 table pushes the serialized
-    module past compile-service request limits (HTTP 413), and a few hundred
-    KB of transcendentals at trace time is free. Matches :func:`sinusoids`
-    to ~2e-4 absolute (f32 argument rounding at position 1500).
-    """
-    assert channels % 2 == 0
-    import math
-
-    log_timescale_increment = math.log(max_timescale) / (channels // 2 - 1)
-    inv = jnp.exp(
-        -log_timescale_increment * jnp.arange(channels // 2, dtype=jnp.float32)
-    )
-    t = jnp.arange(length, dtype=jnp.float32)[:, None] * inv[None, :]
-    return jnp.concatenate([jnp.sin(t), jnp.cos(t)], axis=1)
-
-
 class MultiHeadAttention(nn.Module):
     """Whisper-style MHA: q/k scaled by d_head**-0.25 each, k_proj has no bias.
 
@@ -373,7 +353,7 @@ class WhisperEncoder(nn.Module):
 
         # Positions as a PARAM, not traced transcendentals: params ship as
         # jit arguments (no inlined-constant 413 compile blowups like the old
-        # device-computed sinusoids_jnp), the init value is the exact host
+        # device-computed sinusoid table), the init value is the exact host
         # numpy table, and the converters overwrite it with the checkpoint's
         # stored embed_positions for byte-faithful real-weight parity (TPU
         # exp/sin computed the table ~4e-3 off; numpy matches torch ~1e-7).

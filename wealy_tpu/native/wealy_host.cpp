@@ -223,6 +223,10 @@ int mp3_decode_alloc(const uint8_t* data, uint64_t len, float** out,
   long rate = 0;
   int channels = 1, encoding = 0;
 
+  // mpg123 can return the same recoverable error forever on garbage input
+  // (e.g. a renamed non-MP3 file) without consuming data — bound the number
+  // of consecutive no-progress error retries so decode never spins.
+  int err_streak = 0;
   for (;;) {
     int64_t fnum = 0;
     unsigned char* audio = nullptr;
@@ -235,16 +239,19 @@ int mp3_decode_alloc(const uint8_t* data, uint64_t len, float** out,
         api.destroy(h);
         return 3;
       }
+      err_streak = 0;
       continue;
     }
     if (rc == kMpgNeedMore || rc == kMpgDone) break;  // whole file was fed
     if (rc != kMpgOK) {
-      // tolerate recoverable frame errors (resync) only before any audio
-      if (n == 0 && bytes == 0) continue;
+      // tolerate recoverable frame errors (resync) only before any audio,
+      // and only a bounded number of times
+      if (n == 0 && bytes == 0 && ++err_streak < 4096) continue;
       free(buf);
       api.destroy(h);
       return 3;
     }
+    err_streak = 0;
     if (!audio || bytes == 0) continue;
     const float* pcm = (const float*)audio;
     uint64_t frames = bytes / (sizeof(float) * (uint64_t)channels);

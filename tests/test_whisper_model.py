@@ -429,3 +429,18 @@ class TestF8CrossKv:
         )
         assert out["tokens"].shape == (1, 10)
         assert bool(jnp.isfinite(out["sum_logprob"]).all())
+
+
+def test_special_tokens_all_families():
+    """Published token layouts: sot/eot are fixed inside each lineage —
+    large-v3's <|yue|> lands INSIDE the language block (task tokens shift,
+    sot does not); English-only vocabs sit one lower."""
+    v2 = WhisperConfig(n_vocab=51865)
+    assert (v2.sot, v2.eot, v2.token_transcribe, v2.token_no_timestamps) == (
+        50258, 50257, 50359, 50363)
+    v3 = WHISPER_CONFIGS["large-v3"]
+    assert (v3.sot, v3.eot, v3.n_languages) == (50258, 50257, 100)
+    assert (v3.token_transcribe, v3.token_startofprev, v3.token_nospeech,
+            v3.token_no_timestamps) == (50360, 50362, 50363, 50364)
+    en = WhisperConfig(n_vocab=51864)
+    assert (en.sot, en.eot, en.n_languages) == (50257, 50256, 99)

@@ -418,17 +418,18 @@ def cmd_evaluate(args) -> int:
         if config.data.use_avg_pooling:
             # reference avg-pooling test mode (collate_functions.py:131-172):
             # time collapses to one vector per song BEFORE the model; the
-            # head sees a length-1 sequence -> one z per song (1-chunk set)
-            pooled = np.stack([
-                np.asarray(emb, np.float32).mean(axis=0)
-                for _, [(vid, emb)] in items
-            ])[:, None, :]
+            # head sees a length-1 sequence -> one z per song (1-chunk set).
+            # collate_avg_pool carries the missing-embedding mask.
+            from wealy_tpu.data.chunking import collate_avg_pool
+
+            ab = collate_avg_pool(items)
+            pooled = ab.embeddings.reshape(len(items), 1, -1)
             z = slabbed_apply(
                 embed, pooled, np.ones(pooled.shape[:2], bool),
                 slab_size=args.encode_slab,
             )
             sets = z[:, None, :]
-            set_mask = np.ones((len(items), 1), bool)
+            set_mask = ab.masks.reshape(len(items), 1)
             bidx = list(range(len(items)))
         else:
             batch = collate_overlapping(

@@ -18,6 +18,8 @@ embedding dumps cross-check in both directions.
 
 from __future__ import annotations
 
+import pickle
+import zipfile
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -112,12 +114,19 @@ class EmbeddingStore:
             return None
         try:
             if p.suffix == ".pt":
-                # torch raises RuntimeError/UnpicklingError/EOFError/... on
+                # torch raises RuntimeError/UnpicklingError/EOFError on
                 # truncated or corrupt payloads; all mean "missing work"
                 return load_pt(p)
             with np.load(p) as z:
                 return {k: _upcast(z[k]) for k in z.files}
-        except Exception:
+        except (
+            OSError,
+            ValueError,
+            RuntimeError,
+            EOFError,
+            pickle.UnpicklingError,
+            zipfile.BadZipFile,
+        ):
             return None
 
     def save_pt(self, version_key: str, filename: str, **arrays: np.ndarray) -> Path:

@@ -24,7 +24,11 @@ class WhisperConfig:
     # <|nospeech|> <|notimestamps|> <timestamps>*1501)
     @property
     def sot(self) -> int:  # <|startoftranscript|>
-        return self.n_vocab - 51865 + 50258
+        # fixed across multilingual families: <|endoftext|>/<|sot|> sit at
+        # the end of the TEXT vocab (50257/50258); large-v3's extra token is
+        # <|yue|> INSIDE the language block (only the task tokens shift).
+        # English-only vocabs have one fewer text token (50256/50257).
+        return 50258 if self.n_vocab >= 51865 else 50257
 
     @property
     def eot(self) -> int:  # <|endoftext|>

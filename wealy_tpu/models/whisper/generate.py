@@ -168,7 +168,9 @@ def greedy_decode(
     # prompt is [<|startofprev|>, ctx..., <|sot|>, ...], so sot is NOT at
     # index 0; find it in the prompt (static python ints).
     _pl = list(prompt)
-    sot_index = _pl.index(config.sot) if config.sot in _pl else 0
+    # LAST occurrence: a sampled <|sot|> can leak into the carried-context
+    # tail; the real sot always sits just before the task tokens at the end
+    sot_index = (len(_pl) - 1 - _pl[::-1].index(config.sot)) if config.sot in _pl else 0
     sot_logp = jax.nn.log_softmax(logits[:, sot_index].astype(jnp.float32), axis=-1)
     nospeech_prob = jnp.exp(sot_logp[:, config.token_nospeech])
 

@@ -159,7 +159,8 @@ class TestDatasetFastPath:
         want = {v: ds_plain.load_embedding(v) for v in ds_plain.sampler.versions}
 
         pack_from_store(
-            store, sorted(want), "hs_last_seq.npz", tmp_path / "hs"
+            store, sorted(want), "hs_last_seq.npz", tmp_path / "hs",
+            dataset_name="lyric-covers",
         )
         ds_packed = EmbeddingDataset(conf, "train", seed=0)
         assert ds_packed.packed is not None
@@ -207,7 +208,14 @@ class TestPackCLI:
         assert rc == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["versions_packed"] == 6
-        assert PackedStore(tmp_path / "hs", "hs_last_seq").available
+        assert PackedStore(
+            tmp_path / "hs", "hs_last_seq", dataset_name="lyric-covers"
+        ).available
+        # packs are namespaced by dataset: another dataset sharing the same
+        # hidden_states root must not see (or have clobbered) this pack
+        assert not PackedStore(
+            tmp_path / "hs", "hs_last_seq", dataset_name="shs"
+        ).available
 
 
 class TestMultimodalPackFastPath:
@@ -262,7 +270,10 @@ class TestMultimodalPackFastPath:
 
         for kind in ("hs_wealy_concat.npz", "hs_clews.npz",
                      "hs_clews_avg.npz", "hs_clews_mask.npz"):
-            pack_from_store(store, sorted(want), kind, tmp_path / "hs")
+            pack_from_store(
+                store, sorted(want), kind, tmp_path / "hs",
+                dataset_name="lyric-covers",
+            )
 
         ds_packed = WealyClewsDataset(conf, "train", seed=0)
         for v, mm_want in want.items():

@@ -121,3 +121,50 @@ class TestTPDecode:
         np.testing.assert_array_equal(np.asarray(got["tokens"]), np.asarray(want["tokens"]))
         err = float(jnp.max(jnp.abs(got["hidden"] - want["hidden"])))
         assert err < 1e-4, err
+
+
+class TestTPBf16:
+    """bf16 is the production extraction dtype (load_whisper_model). With
+    seq >= 256 the fused Pallas MLP would trigger unless gated off: like
+    flash_mha, pallas_call has no GSPMD partitioning rule, and the TP mesh
+    Megatron-shards mlp_fc1/mlp_fc2 (ADVICE round 2, medium). use_flash=False
+    must disable BOTH Pallas paths so bf16 TP runs the partitionable XLA
+    einsums."""
+
+    def test_bf16_encoder_seq256_tp_matches_unsharded(self):
+        cfg = WhisperConfig(
+            n_mels=8, n_audio_ctx=256, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=2, n_vocab=64, n_text_ctx=8, n_text_state=64,
+            n_text_head=4, n_text_layer=1,
+        )
+        enc = WhisperEncoder(cfg, dtype=jnp.bfloat16, use_flash=False)
+        rng = np.random.default_rng(7)
+        mel = jnp.asarray(rng.normal(size=(4, 8, 512)).astype(np.float32))
+        params = enc.init(jax.random.PRNGKey(0), mel)["params"]
+        assert enc.apply({"params": params}, mel).shape[1] >= 256  # fused-MLP regime
+
+        want = np.asarray(enc.apply({"params": params}, mel), dtype=np.float32)
+        mesh = make_tp_mesh(n_model=4, n_data=2)
+        sp = shard_params(params, mesh)
+        got = np.asarray(tp_encode_fn(enc, mesh)(sp, mel), dtype=np.float32)
+        # same XLA path both sides; only reduction grouping differs (bf16)
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+    def test_use_flash_false_skips_fused_mlp(self, monkeypatch):
+        """With use_flash=False the fused Pallas MLP must never be entered
+        (it would be unpartitionable under TP)."""
+        import wealy_tpu.ops.fused_mlp as fm
+
+        def boom(*a, **k):
+            raise AssertionError("fused_mlp entered with use_flash=False")
+
+        monkeypatch.setattr(fm, "fused_mlp", boom)
+        cfg = WhisperConfig(
+            n_mels=8, n_audio_ctx=256, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=1, n_vocab=64, n_text_ctx=8, n_text_state=64,
+            n_text_head=4, n_text_layer=1,
+        )
+        enc = WhisperEncoder(cfg, dtype=jnp.bfloat16, use_flash=False)
+        mel = jnp.zeros((1, 8, 512), jnp.float32)
+        params = enc.init(jax.random.PRNGKey(0), mel)["params"]
+        enc.apply({"params": params}, mel)  # must not raise

@@ -144,7 +144,10 @@ def _pack_kind(config, md, split: str, kind: str) -> None:
     versions = sorted(
         v for s in ("train", "val", "test") for c in md.splits[s].values() for v in c
     )
-    packed = pack_from_store(store, versions, f"{kind}.npz", config.path.hidden_states)
+    packed = pack_from_store(
+        store, versions, f"{kind}.npz", config.path.hidden_states,
+        dataset_name=config.data.dataset_name,
+    )
     print(json.dumps({"packed": len(packed), "kind": packed.kind}))
 
 
@@ -201,7 +204,10 @@ def cmd_pack(args) -> int:
         v for s in (args.split.split(",") if args.split else ("train", "val", "test"))
         for c in md.splits[s].values() for v in c
     )
-    packed = pack_from_store(store, versions, filename, config.path.hidden_states)
+    packed = pack_from_store(
+        store, versions, filename, config.path.hidden_states,
+        dataset_name=config.data.dataset_name,
+    )
     print(
         json.dumps(
             {"kind": packed.kind, "versions_packed": len(packed),

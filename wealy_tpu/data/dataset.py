@@ -207,7 +207,10 @@ class EmbeddingDataset:
 
             from wealy_tpu.data.packed_store import PackedStore
 
-            packed = PackedStore(config.path.hidden_states, self.filename)
+            packed = PackedStore(
+                config.path.hidden_states, self.filename,
+                dataset_name=config.data.dataset_name,
+            )
             if packed.available:
                 probe = [v for v in packed._index][:64]
                 if packed.newer_files_exist(self.store, self.filename, probe):

@@ -80,7 +80,13 @@ class MultimodalEmbeddingDataset(EmbeddingDataset):
             from wealy_tpu.data.packed_store import PackedStore
 
             root = self.config.path.hidden_states
-            pack = PackedStore(root, filename) if root else None
+            pack = (
+                PackedStore(
+                    root, filename, dataset_name=self.config.data.dataset_name
+                )
+                if root
+                else None
+            )
             if pack is not None and pack.available:
                 probe = [v for v in pack._index][:64]
                 if pack.newer_files_exist(self.store, filename, probe):

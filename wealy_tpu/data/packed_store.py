@@ -56,11 +56,19 @@ class PackedStore:
     embedding kind; versions absent from the manifest fall back to the
     caller's per-version store)."""
 
-    def __init__(self, root: str | Path, kind: str):
+    def __init__(self, root: str | Path, kind: str, dataset_name: Optional[str] = None):
         self.root = Path(root)
         self.kind = kind.removesuffix(".npz").removesuffix(".pt")
-        self.bin_path = self.root / f"packed_{self.kind}.bin"
-        self.manifest_path = self.root / f"packed_{self.kind}.json"
+        self.dataset_name = dataset_name
+        # packs are namespaced by dataset: two datasets sharing one
+        # hidden_states root must not overwrite each other's packs or serve
+        # rows across datasets on version-key overlap
+        stem = (
+            f"packed_{dataset_name}_{self.kind}" if dataset_name
+            else f"packed_{self.kind}"
+        )
+        self.bin_path = self.root / f"{stem}.bin"
+        self.manifest_path = self.root / f"{stem}.json"
         self._mmap: Optional[np.memmap] = None
         self._index: Dict[str, tuple] = {}  # key -> (flat_row_offset, shape)
         self._dim = 0
@@ -77,6 +85,13 @@ class PackedStore:
                 )
                 ok = False
             elif self.bin_path.stat().st_size != meta["bin_bytes"]:
+                ok = False
+            elif dataset_name and meta.get("dataset") not in (None, dataset_name):
+                # a pack file manually moved/renamed across dataset trees
+                logger.warning(
+                    "packed store %s was written for dataset %r, not %r — "
+                    "ignoring it", self.bin_path, meta.get("dataset"), dataset_name,
+                )
                 ok = False
             if ok and "fingerprint" in meta and _fingerprint(self.bin_path) != meta["fingerprint"]:
                 ok = False
@@ -126,7 +141,14 @@ class PackedStore:
         step = max(1, len(versions) // max(1, sample))
         for v in versions[::step][:sample]:
             p = store.path(v, filename) if store else None
-            if p is not None and p.stat().st_mtime > bin_mtime:
+            if p is None:
+                continue
+            try:
+                newer = p.stat().st_mtime > bin_mtime
+            except OSError:
+                # file vanished between path() and stat() — not "newer"
+                newer = False
+            if newer:
                 return True
         return False
 
@@ -147,6 +169,7 @@ class PackedStore:
         kind: str,
         arrays: Iterable[tuple],
         dtype=np.float16,
+        dataset_name: Optional[str] = None,
     ) -> "PackedStore":
         """Write a pack from ``(version_key, array)`` pairs (any rank >= 1;
         1-D arrays are stored as (1, dim)).
@@ -159,7 +182,8 @@ class PackedStore:
         root = Path(root)
         root.mkdir(parents=True, exist_ok=True)
         kind = kind.removesuffix(".npz").removesuffix(".pt")
-        bin_tmp = root / f".packed_{kind}.bin.tmp"
+        stem = f"packed_{dataset_name}_{kind}" if dataset_name else f"packed_{kind}"
+        bin_tmp = root / f".{stem}.bin.tmp"
         index: Dict[str, list] = {}
         dim = None
         offset = 0
@@ -186,25 +210,29 @@ class PackedStore:
                 offset += int(np.prod(a.shape[:-1], dtype=np.int64))
             f.flush()
             os.fsync(f.fileno())
-        bin_final = root / f"packed_{kind}.bin"
+        bin_final = root / f"{stem}.bin"
         os.replace(bin_tmp, bin_final)
         manifest = {
             "dim": int(dim or 0),
             "dtype": np.dtype(dtype).name,
             "bin_bytes": bin_final.stat().st_size,
             "fingerprint": _fingerprint(bin_final),
+            "dataset": dataset_name,
             "versions": index,
         }
-        man_tmp = root / f".packed_{kind}.json.tmp"
+        man_tmp = root / f".{stem}.json.tmp"
         with open(man_tmp, "w") as f:
             f.write(json.dumps(manifest))
             f.flush()
             os.fsync(f.fileno())
-        os.replace(man_tmp, root / f"packed_{kind}.json")
-        return cls(root, kind)
+        os.replace(man_tmp, root / f"{stem}.json")
+        return cls(root, kind, dataset_name=dataset_name)
 
 
-def pack_from_store(store, versions, filename: str, root: str | Path) -> "PackedStore":
+def pack_from_store(
+    store, versions, filename: str, root: str | Path,
+    dataset_name: Optional[str] = None,
+) -> "PackedStore":
     """Pack every version's main embedding array from a per-version
     EmbeddingStore (versions with no file on disk are skipped — they stay on
     the per-version fallback path and in the verifier's missing-work lists).
@@ -220,4 +248,4 @@ def pack_from_store(store, versions, filename: str, root: str | Path) -> "Packed
                 arr = next(iter(data.values()))
             yield v, arr
 
-    return PackedStore.pack(root, filename, rows())
+    return PackedStore.pack(root, filename, rows(), dataset_name=dataset_name)

@@ -233,12 +233,15 @@ class ResidualAttentionBlock(nn.Module):
         # paths below — and every converter/checkpoint — see the same tree.
         w1, b1 = _DenseParams(4 * self.n_state, name="mlp_fc1")(self.n_state)
         w2, b2 = _DenseParams(self.n_state, name="mlp_fc2")(4 * self.n_state)
-        if self.dtype == jnp.bfloat16 and h.shape[1] >= 256:
+        if self.use_flash and self.dtype == jnp.bfloat16 and h.shape[1] >= 256:
             # fused Pallas MLP (weights VMEM-resident, no HBM gelu
             # intermediate): +2% at the layer level with the round-2
             # attention (benchmarks/bench_layer_mlp.py). bf16-only: its
             # in-kernel A&S erf approximation (max err 1.5e-7) is far below
             # bf16 noise but would show up in f32 activation-parity runs.
+            # Gated on use_flash — like flash_mha, pallas_call has no GSPMD
+            # partitioning rule, so TP meshes (which Megatron-shard
+            # mlp_fc1/mlp_fc2) must use the XLA path (use_flash=False).
             from wealy_tpu.ops.fused_mlp import fused_mlp
 
             h = fused_mlp(h, w1.astype(self.dtype), b1, w2.astype(self.dtype), b2)
@@ -260,6 +263,7 @@ class _ScanDecBody(nn.Module):
     use_cache: bool = False
     use_xa_kv: bool = False
     collect_hiddens: bool = False
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, carry, xs, audio_states, mask):
@@ -270,6 +274,7 @@ class _ScanDecBody(nn.Module):
             self.n_head,
             cross_attention=True,
             dtype=self.dtype,
+            use_flash=self.use_flash,
             name="block",
         )(
             x,
@@ -395,6 +400,8 @@ class WhisperDecoder(nn.Module):
     config: WhisperConfig
     dtype: Any = jnp.bfloat16
     scan_layers: bool = False
+    use_flash: bool = True  # also gates the fused Pallas MLP (no GSPMD
+    # partitioning rule) — set False under TP meshes, like the encoder
 
     @nn.compact
     def __call__(
@@ -510,6 +517,7 @@ class WhisperDecoder(nn.Module):
                 use_cache=use_cache,
                 use_xa_kv=use_xa_kv,
                 collect_hiddens=return_all_hiddens,
+                use_flash=self.use_flash,
                 name="blocks",
             )((x, ci), xs, audio_states, mask)
             new_k, new_v, hid_stack = ys[0], ys[1], ys[2]
@@ -529,6 +537,7 @@ class WhisperDecoder(nn.Module):
                     cfg.n_text_head,
                     cross_attention=True,
                     dtype=self.dtype,
+                    use_flash=self.use_flash,
                     name=f"block_{i}",
                 )(
                     x,
@@ -584,7 +593,8 @@ class Whisper(nn.Module):
             use_flash=self.use_flash,
         )
         self.decoder = WhisperDecoder(
-            self.config, dtype=self.dtype, scan_layers=self.scan_layers
+            self.config, dtype=self.dtype, scan_layers=self.scan_layers,
+            use_flash=self.use_flash,
         )
 
     def __call__(self, mel, tokens):

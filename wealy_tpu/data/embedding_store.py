@@ -129,11 +129,15 @@ class EmbeddingStore:
         ):
             return None
 
-    def save_pt(self, version_key: str, filename: str, **arrays: np.ndarray) -> Path:
+    def save_pt(self, version_key: str, filename: str, **arrays) -> Path:
         """Export in the reference's `.pt` on-disk format (fp16 tensors;
         raw tensor when the payload is a single ``embeddings`` array, dict
         otherwise — base_dataset.py:226-233, multimodal_dataset.py:104-126),
-        so the torch reference stack can cross-check our embeddings."""
+        so the torch reference stack can cross-check our embeddings.
+
+        Non-array values (the ``extraction_method`` str and ``chunk_info``
+        dict of hs_wealy_concat.pt, multimodal_dataset.py:110-126) pass
+        through unconverted, exactly as the reference writes them."""
         import torch
 
         d = self.version_dir(version_key)
@@ -141,6 +145,8 @@ class EmbeddingStore:
         out = d / filename
 
         def to_t(v):
+            if isinstance(v, (str, dict)):
+                return v
             v = np.asarray(v)
             if np.issubdtype(v.dtype, np.floating):
                 return torch.from_numpy(v.astype(np.float16))

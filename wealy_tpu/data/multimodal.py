@@ -42,6 +42,16 @@ def ensure_version_alignment(md: Metadata, split: str) -> None:
         )
 
 
+def aligned_versions(md: Metadata, split: str) -> List[str]:
+    """The flat version list sorted GLOBALLY by deterministic id — the
+    reference's ensure_version_alignment sorts ``self.versions`` across
+    cliques (multimodal_dataset.py:260-274), so __getitem__(idx) order
+    is id-sorted, not clique-grouped. Verified item-for-item against the
+    executed reference in tests/test_pt_interop.py."""
+    flat = [v for versions in md.splits[split].values() for v in versions]
+    return sorted(flat, key=lambda v: int(md.info[v]["id"]))
+
+
 class MultimodalEmbeddingDataset(EmbeddingDataset):
     """Base for the two multimodal variants. ``mode``:
     'wealy-clews' (MultimodalEmbeddingDataset_WEALYCLEWS) or
@@ -55,11 +65,7 @@ class MultimodalEmbeddingDataset(EmbeddingDataset):
         ensure_version_alignment(self.metadata, split)
         # rebuild sampler state with the aligned ordering and multimodal loader
         self.sampler.load_fn = self.load_multimodal
-        self.sampler.versions = [
-            v
-            for versions in self.metadata.splits[split].values()
-            for v in versions
-        ]
+        self.sampler.versions = aligned_versions(self.metadata, split)
         self.sampler.clique_of = {
             v: c
             for c, versions in self.metadata.splits[split].items()

@@ -136,6 +136,8 @@ class TrainConfig:
     eval_every: int = 1000
     checkpoint_every: int = 1000
     debug_nans: bool = False  # enable jax_debug_nans + per-step finite checks
+    metrics_jsonl: str = ""  # when set, MetricsWriter appends one JSON
+    # record per step to this path (SURVEY.md §5.5 metrics persistence)
 
 
 @dataclasses.dataclass

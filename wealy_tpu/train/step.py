@@ -90,10 +90,16 @@ def make_train_step(
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """device_put every array leaf of a batch dict sharded on dim 0 over the
-    mesh's ``data`` axis."""
+    mesh's ``data`` axis. Leaves whose batch dim does not divide the data
+    axis (tiny test corpora, trailing odd batches) are placed unsharded —
+    GSPMD reshards them at the jit boundary, trading input-path parallelism
+    for correctness on that batch only."""
+    n_data = mesh.shape["data"]
 
     def put(x):
         x = jnp.asarray(x)
+        if x.ndim == 0 or x.shape[0] % n_data:
+            return jax.device_put(x)
         return jax.device_put(x, data_sharding(mesh, x.ndim))
 
     return {k: put(v) for k, v in batch.items()}

@@ -224,3 +224,82 @@ class TestWealyEmbedFn:
         store = EmbeddingStore(config.path.hidden_states, "lyric-covers")
         out = store.load("200", "hs_wealy_concat.npz")
         assert out["embeddings"].shape == (3, 16)  # (n_chunks, zdim)
+
+
+class TestDirectPackSink:
+    """`extract --pack-direct` (round-2 VERDICT item 8): completed songs
+    stream straight into a PackWriter — no per-version npz intermediate."""
+
+    def test_sink_produces_identical_pack(self, setup, tmp_path):
+        from wealy_tpu.data.packed_store import PackedStore, PackWriter
+
+        config, md, _ = setup
+        writer = PackWriter(
+            config.path.hidden_states, "x_concat", dataset_name="lyric-covers"
+        )
+        result = extract_split_batched(
+            config, md, "train", _mean_embed, kind="x_concat", batch_size=4,
+            sink=lambda v, **a: writer.add(v, a["embeddings"]),
+            skip_fn=lambda v: v in writer,
+        )
+        packed = writer.close()
+        assert sorted(result["done"]) == ["100", "101", "200"]
+        # NO per-version npz was written
+        store = EmbeddingStore(config.path.hidden_states, "lyric-covers")
+        assert not store.exists("100", "x_concat.npz")
+        # pack content matches what the npz+repack route would produce
+        out = packed.load("200")
+        assert out.shape == (3, 2)
+        np.testing.assert_allclose(out[0, 0], 0.2, atol=1e-3)
+        # reader namespacing holds
+        assert PackedStore(
+            config.path.hidden_states, "x_concat", dataset_name="lyric-covers"
+        ).available
+
+    def test_seed_from_carries_old_pack_forward(self, setup):
+        from wealy_tpu.data.packed_store import PackedStore, PackWriter
+
+        config, md, _ = setup
+        root = config.path.hidden_states
+        old = PackedStore.pack(
+            root, "x_concat",
+            [("100", np.full((1, 2), 7.0, np.float32))],
+            dataset_name="lyric-covers",
+        )
+        writer = PackWriter(root, "x_concat", dataset_name="lyric-covers")
+        assert writer.seed_from(old, ["100"]) == 1
+        result = extract_split_batched(
+            config, md, "train", _mean_embed, kind="x_concat", batch_size=4,
+            sink=lambda v, **a: writer.add(v, a["embeddings"]),
+            skip_fn=lambda v: v in writer,
+        )
+        packed = writer.close()
+        # 100 resumed from the old pack (not re-extracted), 101/200 fresh
+        assert result["skipped"] == 1
+        assert sorted(result["done"]) == ["101", "200"]
+        np.testing.assert_allclose(packed.load("100"), 7.0)
+        assert packed.load("200").shape == (3, 2)
+
+    def test_writer_abort_leaves_no_pack(self, tmp_path):
+        from wealy_tpu.data.packed_store import PackedStore, PackWriter
+
+        writer = PackWriter(tmp_path, "k", dataset_name="d")
+        writer.add("a", np.ones((2, 4), np.float32))
+        writer.abort()
+        assert not PackedStore(tmp_path, "k", dataset_name="d").available
+        assert not list(tmp_path.glob(".*tmp"))
+
+    def test_old_pack_readable_until_close(self, tmp_path):
+        """Atomicity: a reader opened mid-write sees the OLD pack."""
+        from wealy_tpu.data.packed_store import PackedStore, PackWriter
+
+        old = PackedStore.pack(
+            tmp_path, "k", [("a", np.full((1, 4), 1.0))], dataset_name="d"
+        )
+        writer = PackWriter(tmp_path, "k", dataset_name="d")
+        writer.add("a", np.full((1, 4), 2.0))
+        mid = PackedStore(tmp_path, "k", dataset_name="d")
+        np.testing.assert_allclose(mid.load("a"), 1.0)  # still the old rows
+        writer.close()
+        new = PackedStore(tmp_path, "k", dataset_name="d")
+        np.testing.assert_allclose(new.load("a"), 2.0)

@@ -100,15 +100,24 @@ def extract_split_batched(
     overwrite: bool = False,
     n_workers: int = 4,
     log: Callable[[str], None] = print,
+    sink: Optional[Callable] = None,
+    skip_fn: Optional[Callable[[str], bool]] = None,
 ) -> dict:
     """Run one embedding kind over a split with cross-song chunk batching.
 
     ``embed_fn(audio (B, N_SAMPLES)) -> (B, D)`` is the jitted device path
     (mel + encoder [+ head]); it sees exactly one batch shape.
+
+    ``sink(version_key, **arrays)``: overrides the per-version npz write —
+    the direct-to-packed extraction path (`extract --pack-direct`) streams
+    completed songs straight into a PackWriter, eliminating the intermediate
+    per-version write + re-read of `--pack`. ``skip_fn(version_key)``
+    replaces the npz-existence resume check to match the sink.
     """
     store = EmbeddingStore(config.path.hidden_states, config.data.dataset_name)
     ds = AudioDataset(metadata, split, config.path.data)
     filename = f"{kind}.npz"
+    save = sink or (lambda v, **arrays: store.save(v, filename, **arrays))
 
     # --limit keeps its single-host meaning at pod scale: cap the GLOBAL
     # list first, then shard it round-robin per host (host_shard is the
@@ -119,7 +128,8 @@ def extract_split_batched(
     ds.versions = host_shard(ds.versions)
 
     if not overwrite:
-        versions = [v for v in ds.versions if not store.exists(v, filename)]
+        exists = skip_fn or (lambda v: store.exists(v, filename))
+        versions = [v for v in ds.versions if not exists(v)]
         skipped = len(ds.versions) - len(versions)
         ds.versions = versions
     else:
@@ -152,7 +162,7 @@ def extract_split_batched(
             acc.embeddings[chunk_idx] = emb
             acc.received += 1
             if acc.received == acc.n_chunks:
-                store.save(version_key, filename, embeddings=acc.embeddings)
+                save(version_key, embeddings=acc.embeddings)
                 done.append(version_key)
                 del accs[version_key]
 
@@ -169,9 +179,11 @@ def extract_split_batched(
     # any partially-filled accumulators indicate a bug; record them
     incomplete = sorted(accs.keys())
     audit_dir = config.path.cache or config.path.working_dir
-    if audit_dir and jax.process_count() == 1:
+    if audit_dir and jax.process_count() == 1 and sink is None:
         # at pod scale every host would race-write the global resume lists
-        # while others are mid-extraction; run the audit as a post-step
+        # while others are mid-extraction; run the audit as a post-step.
+        # (custom sinks own their completeness accounting — the npz census
+        # would report everything missing)
         store.verify(metadata, filename, out_dir=audit_dir)
     return {
         "done": done,
@@ -193,6 +205,8 @@ def extract_split_batched_decoder(
     overwrite: bool = False,
     n_workers: int = 4,
     log: Callable[[str], None] = print,
+    sink: Optional[Callable] = None,
+    skip_fn: Optional[Callable[[str], bool]] = None,
 ) -> dict:
     """Batched DECODER-embedding extraction (hs_last_all / hs_last_seq kinds).
 
@@ -208,6 +222,7 @@ def extract_split_batched_decoder(
     ds = AudioDataset(metadata, split, config.path.data)
     filename = f"{kind}.npz"
     flatten = kind.startswith("hs_last_seq")
+    save = sink or (lambda v, **arrays: store.save(v, filename, **arrays))
 
     # global --limit semantics, then per-host round-robin (see encoder driver)
     if limit:
@@ -216,7 +231,8 @@ def extract_split_batched_decoder(
     ds.versions = host_shard(ds.versions)
 
     if not overwrite:
-        versions = [v for v in ds.versions if not store.exists(v, filename)]
+        exists = skip_fn or (lambda v: store.exists(v, filename))
+        versions = [v for v in ds.versions if not exists(v)]
         skipped = len(ds.versions) - len(versions)
         ds.versions = versions
     else:
@@ -246,13 +262,12 @@ def extract_split_batched_decoder(
                 hid_all = np.stack(hidden_acc[version_key])  # (n_chunks, max_len, D)
                 lens = np.array(length_acc[version_key], np.int32)
                 if flatten:
-                    store.save(
+                    save(
                         version_key,
-                        filename,
                         embeddings=flatten_decoder_sequence(hid_all, lens),
                     )
                 else:
-                    store.save(version_key, filename, embeddings=hid_all, lengths=lens)
+                    save(version_key, embeddings=hid_all, lengths=lens)
                 done.append(version_key)
                 del hidden_acc[version_key], length_acc[version_key]
 
@@ -266,7 +281,7 @@ def extract_split_batched_decoder(
 
     incomplete = sorted(hidden_acc.keys())
     audit_dir = config.path.cache or config.path.working_dir
-    if audit_dir and jax.process_count() == 1:
+    if audit_dir and jax.process_count() == 1 and sink is None:
         # pod scale: see the encoder driver — audit post-hoc, not per host
         store.verify(metadata, filename, out_dir=audit_dir)
     return {

@@ -27,6 +27,9 @@ def cmd_extract(args) -> int:
     from wealy_tpu.cli.extract import extract_split
     from wealy_tpu.data.dataset import build_clean_dataset
 
+    if args.pack_direct and not args.batched:
+        print("[extract] --pack-direct requires --batched", file=sys.stderr)
+        return 2
     config = _load_config(args.config)
     md, _ = build_clean_dataset(config, check_audio=True)
     if args.kinds.split(",")[0] == "hs_clews":
@@ -52,6 +55,46 @@ def cmd_extract(args) -> int:
         local = jax.local_devices()
         mesh = make_mesh(devices=local) if len(local) > 1 else None
         kind = args.kinds.split(",")[0]
+        sink = skip_fn = writer = None
+        if args.pack_direct:
+            # direct-to-packed: completed songs stream straight into the
+            # mmap pack (no intermediate per-version npz write + re-read).
+            # Resume works by carrying the old pack's rows forward; readers
+            # see the old pack until the atomic close().
+            from wealy_tpu.data.packed_store import PackedStore, PackWriter
+
+            if kind == "hs_last_all":
+                print(
+                    "[extract] --pack-direct unsupported for hs_last_all "
+                    "(two-array payload); use --pack",
+                    file=sys.stderr,
+                )
+                return 2
+            if jax.process_count() > 1:
+                print(
+                    "[extract] --pack-direct is single-host only (each host "
+                    "would write its own pack); extract then `wealy_tpu pack`",
+                    file=sys.stderr,
+                )
+                return 2
+            writer = PackWriter(
+                config.path.hidden_states, kind,
+                dataset_name=config.data.dataset_name,
+            )
+            old = PackedStore(
+                config.path.hidden_states, kind,
+                dataset_name=config.data.dataset_name,
+            )
+            if not args.overwrite and old.available:
+                n = writer.seed_from(old, list(old._index))
+                print(f"[extract] carried {n} packed versions forward",
+                      file=sys.stderr)
+
+            def sink(v, **arrays):
+                writer.add(v, arrays["embeddings"])
+
+            def skip_fn(v):
+                return v in writer
         if kind.startswith("hs_last"):
             from wealy_tpu.cli.extract_batched import (
                 extract_split_batched_decoder,
@@ -74,6 +117,8 @@ def cmd_extract(args) -> int:
                 batch_size=args.batch_size,
                 limit=args.limit,
                 overwrite=args.overwrite,
+                sink=sink,
+                skip_fn=skip_fn,
             )
         else:
             if kind == "hs_wealy_concat":
@@ -92,6 +137,14 @@ def cmd_extract(args) -> int:
                 mesh=mesh,
                 limit=args.limit,
                 overwrite=args.overwrite,
+                sink=sink,
+                skip_fn=skip_fn,
+            )
+        if writer is not None:
+            packed = writer.close()
+            print(
+                f"[extract] pack closed: {len(packed)} versions in "
+                f"{packed.bin_path.name}", file=sys.stderr,
             )
         print(json.dumps({
             "done": len(result["done"]),
@@ -882,6 +935,14 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="after batched extraction, pack the kind into the mmap "
         "training format (same as the pack command)",
+    )
+    e.add_argument(
+        "--pack-direct",
+        action="store_true",
+        help="batched extraction writes STRAIGHT to the mmap pack (no "
+        "intermediate per-version npz write + re-read); resume carries the "
+        "old pack forward. npz interop export stays available via plain "
+        "extract + pack. Single-host; not for hs_last_all",
     )
     e.add_argument(
         "--tp", type=int, default=1,

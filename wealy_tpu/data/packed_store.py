@@ -179,54 +179,111 @@ class PackedStore:
         size+fingerprint check turns any crash window into "pack absent",
         never misaligned reads.
         """
-        root = Path(root)
-        root.mkdir(parents=True, exist_ok=True)
-        kind = kind.removesuffix(".npz").removesuffix(".pt")
-        stem = f"packed_{dataset_name}_{kind}" if dataset_name else f"packed_{kind}"
-        bin_tmp = root / f".{stem}.bin.tmp"
-        index: Dict[str, list] = {}
-        dim = None
-        offset = 0
-        with open(bin_tmp, "wb") as f:
+        writer = PackWriter(root, kind, dtype=dtype, dataset_name=dataset_name)
+        try:
             for key, arr in arrays:
-                if key in index:
-                    # duplicate version keys (e.g. the 5 rows shared between
-                    # the reference's SHS VAL and TEST split files) must not
-                    # advance the offset twice — first occurrence wins
-                    continue
-                orig = np.asarray(arr)
-                a = np.ascontiguousarray(np.atleast_2d(orig), dtype=dtype)
-                if dim is None:
-                    dim = a.shape[-1]
-                elif a.shape[-1] != dim:
-                    raise ValueError(
-                        f"inconsistent embedding dim for {key!r}: "
-                        f"{a.shape[-1]} != {dim}"
-                    )
-                f.write(a.tobytes())
-                # record the ORIGINAL shape (1-D kinds like hs_clews_avg load
-                # back as (D,), not (1, D)); flat-row offsets stay 2-D
-                index[key] = [offset, *orig.shape]
-                offset += int(np.prod(a.shape[:-1], dtype=np.int64))
-            f.flush()
-            os.fsync(f.fileno())
-        bin_final = root / f"{stem}.bin"
-        os.replace(bin_tmp, bin_final)
+                writer.add(key, arr)
+        except BaseException:
+            writer.abort()
+            raise
+        return writer.close()
+
+
+class PackWriter:
+    """Incremental pack writer — the direct-to-packed extraction sink
+    (`extract --pack-direct`): ``add(key, arr)`` streams one version's rows
+    to the tmp binary as it completes, ``close()`` fsync+renames bin then
+    manifest (same crash-safety contract as :meth:`PackedStore.pack`, which
+    is implemented on top of this). Until close(), readers see the OLD pack
+    (or none) — never a torn one."""
+
+    def __init__(
+        self,
+        root: str | Path,
+        kind: str,
+        dtype=np.float16,
+        dataset_name: Optional[str] = None,
+    ):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.kind = kind.removesuffix(".npz").removesuffix(".pt")
+        self.dtype = np.dtype(dtype)
+        self.dataset_name = dataset_name
+        self._stem = (
+            f"packed_{dataset_name}_{self.kind}" if dataset_name
+            else f"packed_{self.kind}"
+        )
+        self._bin_tmp = self.root / f".{self._stem}.bin.tmp"
+        self._f = open(self._bin_tmp, "wb")
+        self._index: Dict[str, list] = {}
+        self._dim: Optional[int] = None
+        self._offset = 0
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._index
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def add(self, key: str, arr) -> None:
+        if key in self._index:
+            # duplicate version keys (e.g. the 5 rows shared between the
+            # reference's SHS VAL and TEST split files) must not advance
+            # the offset twice — first occurrence wins
+            return
+        orig = np.asarray(arr)
+        a = np.ascontiguousarray(np.atleast_2d(orig), dtype=self.dtype)
+        if self._dim is None:
+            self._dim = a.shape[-1]
+        elif a.shape[-1] != self._dim:
+            raise ValueError(
+                f"inconsistent embedding dim for {key!r}: "
+                f"{a.shape[-1]} != {self._dim}"
+            )
+        self._f.write(a.tobytes())
+        # record the ORIGINAL shape (1-D kinds like hs_clews_avg load back
+        # as (D,), not (1, D)); flat-row offsets stay 2-D
+        self._index[key] = [self._offset, *orig.shape]
+        self._offset += int(np.prod(a.shape[:-1], dtype=np.int64))
+
+    def seed_from(self, old: "PackedStore", versions) -> int:
+        """Carry forward already-packed versions (resume semantics for
+        direct-to-packed extraction): sequential mmap copy, no re-extract."""
+        n = 0
+        for v in versions:
+            if v in old and v not in self._index:
+                self.add(v, old.load(v))
+                n += 1
+        return n
+
+    def abort(self) -> None:
+        self._f.close()
+        try:
+            os.unlink(self._bin_tmp)
+        except OSError:
+            pass
+
+    def close(self) -> "PackedStore":
+        self._f.flush()
+        os.fsync(self._f.fileno())
+        self._f.close()
+        bin_final = self.root / f"{self._stem}.bin"
+        os.replace(self._bin_tmp, bin_final)
         manifest = {
-            "dim": int(dim or 0),
-            "dtype": np.dtype(dtype).name,
+            "dim": int(self._dim or 0),
+            "dtype": self.dtype.name,
             "bin_bytes": bin_final.stat().st_size,
             "fingerprint": _fingerprint(bin_final),
-            "dataset": dataset_name,
-            "versions": index,
+            "dataset": self.dataset_name,
+            "versions": self._index,
         }
-        man_tmp = root / f".{stem}.json.tmp"
+        man_tmp = self.root / f".{self._stem}.json.tmp"
         with open(man_tmp, "w") as f:
             f.write(json.dumps(manifest))
             f.flush()
             os.fsync(f.fileno())
-        os.replace(man_tmp, root / f"{stem}.json")
-        return cls(root, kind, dataset_name=dataset_name)
+        os.replace(man_tmp, self.root / f"{self._stem}.json")
+        return PackedStore(self.root, self.kind, dataset_name=self.dataset_name)
 
 
 def pack_from_store(

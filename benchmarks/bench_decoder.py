@@ -16,20 +16,24 @@ from wealy_tpu.models.whisper import Whisper, WHISPER_CONFIGS
 from wealy_tpu.models.whisper.generate import default_prompt, greedy_decode
 
 
-def main(batches=(16, 64, 128), max_len=64, iters=8):
+def main(batches=(16, 64, 128), max_len=64, iters=8, kv_mode="bf16"):
     cfg = WHISPER_CONFIGS["tiny"]
     model = Whisper(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     mel0 = jnp.zeros((1, cfg.n_mels, 3000), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), mel0, jnp.zeros((1, 4), jnp.int32))["params"]
     prompt = default_prompt(cfg, language=0)
+    # kv_mode: bf16 | cross-f8 | f8 (cross+self)
+    cross_dtype = jnp.float8_e4m3fn if kv_mode in ("cross-f8", "f8") else None
+    self_dtype = jnp.float8_e4m3fn if kv_mode == "f8" else None
 
     @jax.jit
     def decode_batch(params, audio):
         mel = log_mel_spectrogram_pallas(audio, n_mels=cfg.n_mels)
         enc = model.apply({"params": params}, mel, method=Whisper.encode)
         out = greedy_decode(
-            model, params, enc, cfg, prompt=prompt, max_len=max_len, eot=-1
+            model, params, enc, cfg, prompt=prompt, max_len=max_len, eot=-1,
+            cross_kv_dtype=cross_dtype, self_kv_dtype=self_dtype,
         )
         return out["hidden"], out["lengths"]
 
@@ -53,11 +57,13 @@ def main(batches=(16, 64, 128), max_len=64, iters=8):
         dt = (time.perf_counter() - t0) / iters
         assert np.isfinite(sink).all()
         print(json.dumps({
-            "B": B, "max_len": max_len, "ms_per_batch": round(dt * 1e3, 2),
+            "B": B, "max_len": max_len, "kv": kv_mode,
+            "ms_per_batch": round(dt * 1e3, 2),
             "clips_per_s": round(B / dt, 1), "compile_s": round(compile_s, 1),
         }), flush=True)
 
 
 if __name__ == "__main__":
     bs = tuple(int(b) for b in sys.argv[1].split(",")) if len(sys.argv) > 1 else (16, 64, 128)
-    main(batches=bs)
+    mode = sys.argv[2] if len(sys.argv) > 2 else "bf16"
+    main(batches=bs, kv_mode=mode)

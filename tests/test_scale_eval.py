@@ -117,7 +117,7 @@ def corpus(tmp_path_factory):
     return root, cpath
 
 
-def _run_bounded(cpath, cli_args, timeout=560):
+def _run_bounded(cpath, cli_args, timeout=1500):
     """Run a CLI command in a fresh subprocess; return (last json line,
     peak RSS in MB)."""
     script = (

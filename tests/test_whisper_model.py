@@ -431,6 +431,64 @@ class TestF8CrossKv:
         assert bool(jnp.isfinite(out["sum_logprob"]).all())
 
 
+class TestF8SelfKv:
+    def _setup(self, dtype=jnp.float32):
+        cfg = WhisperConfig(
+            n_mels=8, n_audio_ctx=16, n_audio_state=32, n_audio_head=2,
+            n_audio_layer=1, n_vocab=64, n_text_ctx=16, n_text_state=32,
+            n_text_head=2, n_text_layer=2,
+        )
+        model = Whisper(cfg, dtype=dtype)
+        rng = np.random.default_rng(5)
+        mel = jnp.asarray(rng.normal(size=(2, cfg.n_mels, 32)).astype(np.float32))
+        params = model.init(
+            jax.random.PRNGKey(2), mel, jnp.zeros((2, 4), jnp.int32)
+        )["params"]
+        states = model.apply({"params": params}, mel, method=Whisper.encode)
+        return cfg, model, params, states
+
+    def test_f8_cache_incremental_close_to_full_precision(self):
+        """float8 SELF-KV storage (round-3 opt-in): incremental decode with
+        an f8 cache stays within a few percent of the full-precision cache —
+        the cache lives at f8 the whole time (write f8, read f8+upcast)."""
+        from wealy_tpu.models.whisper.generate import init_kv_caches
+
+        cfg, model, params, states = self._setup()
+        rng = np.random.default_rng(6)
+        tokens = jnp.asarray(rng.integers(0, 64, size=(2, 6)), jnp.int32)
+
+        def run(dtype):
+            caches = init_kv_caches(cfg, 2, cfg.n_text_ctx, dtype=dtype)
+            hs = []
+            for i in range(tokens.shape[1]):
+                h, _, caches = model.apply(
+                    {"params": params}, tokens[:, i : i + 1], states,
+                    kv_caches=caches, cache_index=i, method=Whisper.decode,
+                )
+                assert caches[0][0].dtype == dtype  # cache STAYS at storage
+                hs.append(h)
+            return jnp.concatenate(hs, axis=1)
+
+        ref = run(jnp.float32)
+        got = run(jnp.float8_e4m3fn)
+        rel = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-9))
+        assert rel < 0.08, rel
+
+    def test_greedy_decode_accepts_self_kv_dtype(self):
+        from wealy_tpu.models.whisper.generate import default_prompt, greedy_decode
+
+        cfg, model, params, states = self._setup()
+        out = greedy_decode(
+            model, params, states, cfg, prompt=[1, 2],
+            max_len=10, eot=cfg.n_vocab - 1,
+            self_kv_dtype=jnp.float8_e4m3fn,
+            cross_kv_dtype=jnp.float8_e4m3fn,
+        )
+        assert out["tokens"].shape == (2, 10)
+        assert bool(jnp.isfinite(out["sum_logprob"]).all())
+        assert out["hidden"].shape == (2, 10, cfg.n_text_state)
+
+
 def test_special_tokens_all_families():
     """Published token layouts: sot/eot are fixed inside each lineage —
     large-v3's <|yue|> lands INSIDE the language block (task tokens shift,

@@ -298,6 +298,7 @@ def make_decoder_embed_fn(
     language: Optional[int] = 0,
     max_len: int = 224,
     cross_kv_f8: bool = False,
+    self_kv_f8: bool = False,
     mesh=None,
     tp: int = 1,
 ):
@@ -307,6 +308,10 @@ def make_decoder_embed_fn(
     ``cross_kv_f8``: store the prefill cross-attention K/V in float8_e4m3 —
     -28% per decode step at B=128 (bandwidth-bound re-reads), ~1.4%
     hidden-state perturbation (BENCH_NOTES round 2). Opt-in.
+
+    ``self_kv_f8``: float8 storage for the self-attention KV caches too
+    (round-3; halves the cache's per-step HBM traffic — BENCH_NOTES round 3
+    for measured throughput/perturbation). Opt-in.
 
     ``mesh``: shard the clip batch over the mesh's data axis — data-parallel
     greedy decode (every decode-loop op is batch-parallel, so XLA keeps the
@@ -326,6 +331,7 @@ def make_decoder_embed_fn(
     model, params, wcfg = load_whisper_model(config, hf_checkpoint)
     prompt = default_prompt(wcfg, language=language)
     kv_dtype = jnp.float8_e4m3fn if cross_kv_f8 else None
+    self_dtype = jnp.float8_e4m3fn if self_kv_f8 else None
 
     if tp > 1:
         from wealy_tpu.parallel.tp import make_tp_mesh, shard_params, tp_decode_fn
@@ -343,7 +349,8 @@ def make_decoder_embed_fn(
         mesh2d = make_tp_mesh(n_model=tp, devices=jax.local_devices())
         params = shard_params(params, mesh2d)
         tp_decode = tp_decode_fn(
-            model, mesh2d, wcfg, prompt, max_len=max_len, cross_kv_dtype=kv_dtype
+            model, mesh2d, wcfg, prompt, max_len=max_len,
+            cross_kv_dtype=kv_dtype, self_kv_dtype=self_dtype,
         )
 
         @jax.jit
@@ -362,7 +369,7 @@ def make_decoder_embed_fn(
         enc = model.apply({"params": params}, mel, method=Whisper.encode)
         out = greedy_decode(
             model, params, enc, wcfg, prompt=prompt, max_len=max_len,
-            cross_kv_dtype=kv_dtype,
+            cross_kv_dtype=kv_dtype, self_kv_dtype=self_dtype,
         )
         return out["hidden"], out["lengths"]
 

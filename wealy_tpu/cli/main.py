@@ -110,6 +110,7 @@ def cmd_extract(args) -> int:
                     args.hf_checkpoint,
                     language=0 if kind.endswith("_en") else None,
                     cross_kv_f8=args.cross_kv_f8,
+                    self_kv_f8=args.self_kv_f8,
                     mesh=None if args.tp > 1 else mesh,
                     tp=args.tp,
                 ),
@@ -948,6 +949,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--tp", type=int, default=1,
         help="tensor-parallel degree for decoder extraction (Whisper-large "
         "path; builds a (data, model) mesh over all devices)",
+    )
+    e.add_argument(
+        "--self-kv-f8",
+        action="store_true",
+        help="store decode SELF-attention KV caches in float8 (halves the "
+        "cache's per-step HBM traffic; see BENCH_NOTES round 3)",
     )
     e.add_argument(
         "--cross-kv-f8",

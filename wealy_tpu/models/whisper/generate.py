@@ -82,6 +82,7 @@ def greedy_decode(
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
     cross_kv_dtype=None,
+    self_kv_dtype=None,
     xa_kv=None,
 ):
     """Decode from encoder states: greedy at ``temperature=0`` (default),
@@ -98,6 +99,12 @@ def greedy_decode(
     per-step cost 28% at ~1.4% hidden-state perturbation / 0.5% greedy token
     flips (measured teacher-forced) — opt-in for throughput-critical
     extraction, default full-precision.
+
+    ``self_kv_dtype``: same storage trick for the SELF-attention caches
+    (written incrementally each step, re-read every step): the cache lives
+    in f8 end to end, halving its per-step HBM traffic vs bf16. Quantization
+    error here feeds back through the token trajectory (unlike the constant
+    cross memory) — see BENCH_NOTES round 3 for measured perturbation.
 
     Returns dict with:
       - ``tokens``  (B, max_len) int32 — prompt + generated, eot-padded
@@ -117,7 +124,9 @@ def greedy_decode(
     tokens = jnp.full((B, max_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :P].set(jnp.asarray(list(prompt), dtype=jnp.int32))
     hidden_buf = jnp.zeros((B, max_len, config.n_text_state), model.dtype)
-    caches = init_kv_caches(config, B, max_len, dtype=model.dtype)
+    caches = init_kv_caches(
+        config, B, max_len, dtype=self_kv_dtype or model.dtype
+    )
     if rng is None:
         rng = jax.random.PRNGKey(0)
 

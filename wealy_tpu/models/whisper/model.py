@@ -120,6 +120,13 @@ class MultiHeadAttention(nn.Module):
             cv = jax.lax.dynamic_update_slice(cv, v_new, (0, 0, cache_index, 0))
             k, v = ck, cv
             new_cache = (ck, cv)
+            if ck.dtype != self.dtype:
+                # low-precision self-KV storage (float8_e4m3fn, opt-in decode
+                # bandwidth mode like the cross-KV path above): the cache
+                # LIVES at the storage width (per-step HBM read+write stays
+                # f8); the upcast fuses into the attention einsum's read
+                k = ck.astype(self.dtype)
+                v = cv.astype(self.dtype)
         else:
             new_cache = None
 

@@ -90,7 +90,7 @@ def make_tp_mesh(
 
 def tp_decode_fn(
     model, mesh: Mesh, config, prompt, max_len: int = 224, eot=None,
-    cross_kv_dtype=None,
+    cross_kv_dtype=None, self_kv_dtype=None,
 ):
     """Jitted TP greedy decode (the hs_last_* extraction workload at
     Whisper-large scale): params TP-sharded via :func:`shard_params`, clip
@@ -116,6 +116,7 @@ def tp_decode_fn(
         out = greedy_decode(
             model, params, states, config, prompt=prompt, max_len=max_len,
             eot=eot, cross_kv_dtype=cross_kv_dtype,
+            self_kv_dtype=self_kv_dtype,
         )
         return {
             k: jax.lax.with_sharding_constraint(

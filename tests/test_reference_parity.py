@@ -275,3 +275,396 @@ class TestLayerParity:
         np.testing.assert_allclose(
             ours, np.transpose(ref, (0, 2, 3, 1)), rtol=1e-4, atol=1e-6
         )
+
+
+def _ref_losses():
+    """Import the reference's lib/losses.py by stubbing its unused
+    pytorch_metric_learning import (it is imported at module top but never
+    referenced — losses.py:4-5 vs the rest of the file). Executing the
+    reference's own loss code is stronger parity evidence than the numpy
+    oracles in tests/test_losses.py."""
+    import types
+
+    if "pytorch_metric_learning" not in sys.modules:
+        stub = types.ModuleType("pytorch_metric_learning")
+        stub.losses = types.ModuleType("pytorch_metric_learning.losses")
+        stub.miners = types.ModuleType("pytorch_metric_learning.miners")
+        sys.modules["pytorch_metric_learning"] = stub
+        sys.modules["pytorch_metric_learning.losses"] = stub.losses
+        sys.modules["pytorch_metric_learning.miners"] = stub.miners
+    from lib import losses as ref_losses  # type: ignore
+
+    return ref_losses
+
+
+def _loss_batch(rng, B=16, C=8):
+    """Batch with positives (label pairs), negatives, distinct idx."""
+    labels = np.repeat(np.arange(B // 2), 2).astype(np.int64)
+    idx = np.arange(B).astype(np.int64)
+    z = rng.normal(size=(B, C)).astype(np.float32)
+    return labels, idx, z
+
+
+class TestLossParity:
+    """The reference's own CLEWSLoss / NTXentLoss / TripletLoss executed
+    side-by-side with wealy_tpu.losses on identical inputs."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(0)
+
+    @pytest.mark.parametrize("step", [0, 250, 5000])
+    def test_clews_matches_reference(self, rng, step):
+        from wealy_tpu.losses.clews import clews_loss
+
+        ref = _ref_losses().CLEWSLoss()
+        labels, idx, z = _loss_batch(rng)
+        extra = {"global_step": step}
+        want, want_log = ref(
+            torch.from_numpy(labels), torch.from_numpy(idx),
+            torch.from_numpy(z.copy()), extra=extra,
+        )
+        got, got_log = clews_loss(labels, idx, z, extra=extra)
+        np.testing.assert_allclose(float(got), float(want), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            float(got_log["l_cent"]), float(want_log["l_cent"]), rtol=2e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(got_log["l_cont"]), float(want_log["l_cont"]), rtol=2e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(got_log["uniformity_weight"]),
+            float(want_log["uniformity_weight"]), rtol=1e-6, atol=0,
+        )
+
+    def test_clews_not_numerically_friendly_branch(self, rng):
+        from wealy_tpu.losses.clews import clews_loss
+
+        ref = _ref_losses().CLEWSLoss()
+        labels, idx, z = _loss_batch(rng)
+        want, _ = ref(
+            torch.from_numpy(labels), torch.from_numpy(idx),
+            torch.from_numpy(z.copy()), extra={"global_step": 99},
+            numerically_friendly=False,
+        )
+        got, _ = clews_loss(
+            labels, idx, z, extra={"global_step": 99},
+            numerically_friendly=False,
+        )
+        np.testing.assert_allclose(float(got), float(want), rtol=2e-5, atol=1e-6)
+
+    def test_ntxent_matches_reference(self, rng):
+        from wealy_tpu.losses.ntxent import ntxent_loss
+
+        ref = _ref_losses().NTXentLoss(temperature=0.1)
+        labels, idx, z = _loss_batch(rng)
+        want, _ = ref(
+            torch.from_numpy(labels), torch.from_numpy(idx),
+            torch.from_numpy(z.copy()),
+        )
+        got, _ = ntxent_loss(labels, idx, z, temperature=0.1)
+        np.testing.assert_allclose(float(got), float(want), rtol=2e-5, atol=1e-6)
+
+    def test_triplet_matches_reference(self, rng):
+        from wealy_tpu.losses.triplet import triplet_loss
+
+        ref = _ref_losses().TripletLoss(margin=0.2)
+        labels, idx, z = _loss_batch(rng)
+        want, _ = ref(
+            torch.from_numpy(labels), torch.from_numpy(idx),
+            torch.from_numpy(z.copy()),
+        )
+        got, _ = triplet_loss(labels, idx, z, margin=0.2)
+        np.testing.assert_allclose(float(got), float(want), rtol=2e-5, atol=1e-6)
+
+    def test_triplet_no_valid_triplets(self, rng):
+        """All-same-label batch after the noise-injection branch; both sides
+        agree (the reference injects -1 labels in place)."""
+        from wealy_tpu.losses.triplet import triplet_loss
+
+        ref = _ref_losses().TripletLoss(margin=0.2)
+        B = 8
+        labels = np.zeros(B, np.int64)
+        idx = np.arange(B).astype(np.int64)
+        z = rng.normal(size=(B, 8)).astype(np.float32)
+        want, _ = ref(
+            torch.from_numpy(labels.copy()), torch.from_numpy(idx),
+            torch.from_numpy(z.copy()),
+        )
+        got, _ = triplet_loss(labels, idx, z, margin=0.2)
+        np.testing.assert_allclose(float(got), float(want), rtol=2e-5, atol=1e-6)
+
+
+class _ConfShim:
+    """Minimal OmegaConf-like conf for the reference's create_collate_fn
+    (it only calls conf.data.get / conf.model.get)."""
+
+    class _Section(dict):
+        def get(self, k, default=None):
+            return dict.get(self, k, default)
+
+    def __init__(self, data=None, model=None):
+        self.data = self._Section(data or {})
+        self.model = self._Section(model or {})
+
+
+def _mk_items(rng, B=4, n=2, C=6, lengths=(7, 12, 3, 10, 15, 9, 12, 5)):
+    """Paired our-format / reference-format single-modal batches."""
+    ours, ref = [], []
+    it = iter(lengths)
+    for i in range(B):
+        versions, ref_item = [], [i]
+        for j in range(n):
+            vid = 10 * i + j
+            emb = rng.normal(size=(next(it), C)).astype(np.float32)
+            versions.append((vid, emb))
+            ref_item += [vid, torch.from_numpy(emb)]
+        ours.append((i, versions))
+        ref.append(ref_item)
+    return ours, ref
+
+
+class TestCollateParity:
+    """The reference's own collate_functions.py executed side-by-side with
+    wealy_tpu.data.chunking / collate_factory on identical inputs."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(0)
+
+    @pytest.fixture
+    def ref_collate(self):
+        import types
+
+        if "omegaconf" not in sys.modules:
+            # the reference package __init__ pulls metadata_loaders, which
+            # imports OmegaConf only for OmegaConf.select — shim it
+            class _OC:
+                @staticmethod
+                def select(cfg, key, default=None):
+                    cur = cfg
+                    for part in key.split("."):
+                        cur = getattr(cur, part, None)
+                        if cur is None:
+                            return default
+                    return cur
+
+            mod = types.ModuleType("omegaconf")
+            mod.OmegaConf = _OC
+            sys.modules["omegaconf"] = mod
+        from lib.embedding_dataset import collate_functions as CF  # type: ignore
+
+        return CF
+
+    def _cmp_fixed(self, ref_out, batch, n=2):
+        np.testing.assert_array_equal(np.asarray(ref_out[0]), batch.clique_ids)
+        for j in range(n):
+            np.testing.assert_array_equal(
+                np.asarray(ref_out[1 + j * 3]), batch.version_ids[:, j]
+            )
+            np.testing.assert_allclose(
+                np.asarray(ref_out[2 + j * 3]), batch.embeddings[:, j], rtol=1e-6
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ref_out[3 + j * 3]), batch.masks[:, j]
+            )
+
+    def test_fixed_length_deterministic(self, rng, ref_collate):
+        from wealy_tpu.data.chunking import collate_fixed_length
+
+        ours, ref = _mk_items(rng)
+        want = ref_collate.collate_embeddings_fixed_length(
+            ref, use_random_chunks=False, chunk_size=10
+        )
+        got = collate_fixed_length(ours, chunk_size=10, use_random_chunks=False)
+        self._cmp_fixed(want, got)
+
+    def test_fixed_length_clews_type(self, rng, ref_collate):
+        """CLEWS fixed-shape override: full sequence, no chunking."""
+        from wealy_tpu.data.chunking import collate_fixed_length
+
+        ours, ref = _mk_items(rng, lengths=(16,) * 8)
+        want = ref_collate.collate_embeddings_fixed_length(
+            ref, use_random_chunks=False, chunk_size=4, embedding_type="clews"
+        )
+        got = collate_fixed_length(
+            ours, chunk_size=4, use_random_chunks=False, embedding_type="clews"
+        )
+        assert got.embeddings.shape[2] == 16  # fixed shape kept
+        self._cmp_fixed(want, got)
+
+    def test_avg_pooling(self, rng, ref_collate):
+        from wealy_tpu.data.chunking import collate_avg_pool
+
+        ours, ref = _mk_items(rng)
+        want = ref_collate.collate_embeddings_fixed_length(
+            ref, use_avg_pooling=True
+        )
+        got = collate_avg_pool(ours)
+        np.testing.assert_array_equal(np.asarray(want[0]), got.clique_ids)
+        for j in range(2):
+            np.testing.assert_allclose(
+                np.asarray(want[2 + j * 3]), got.embeddings[:, j],
+                rtol=1e-5, atol=1e-7,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(want[3 + j * 3]), got.masks[:, j]
+            )
+
+    def test_overlapping_chunks(self, rng, ref_collate):
+        """Test-mode overlapping windows: same chunk tensor, same
+        (batch_idx, version_idx, chunk_idx) chunk_info rows."""
+        from wealy_tpu.data.chunking import collate_overlapping
+
+        ours, ref = _mk_items(rng, B=2, lengths=(25, 9, 14, 30))
+        want = ref_collate.collate_embeddings_fixed_length(
+            ref, use_random_chunks=False, chunk_size=10,
+            use_overlapping_chunks=True, overlap_percentage=0.5,
+        )
+        got = collate_overlapping(ours, chunk_size=10, overlap=0.5)
+        # reference layout: [clique_ids, version_ids, embeddings, masks,
+        # chunk_info], REAL chunks only; ours pads the chunk count to a
+        # bucket multiple with chunk_valid — compare the valid rows
+        keep = got.chunk_valid
+        np.testing.assert_allclose(
+            np.asarray(want[2]), got.embeddings[keep], rtol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(want[3]), got.masks[keep])
+        np.testing.assert_array_equal(np.asarray(want[4]), got.chunk_info[keep])
+
+    def test_wealy_clews_deterministic(self, rng, ref_collate):
+        from wealy_tpu.data.collate_factory import collate_wealy_clews
+
+        B, n, L, C = 3, 2, 5, 4
+        ours, ref = [], []
+        for i in range(B):
+            versions, ref_item = [], [i]
+            for j in range(n):
+                vid = 10 * i + j
+                mm = {
+                    "wealy": {"embeddings": rng.normal(size=(3, 8)).astype(np.float32)},
+                    "full_clews": rng.normal(size=(L, C)).astype(np.float32),
+                    "avg_clews": rng.normal(size=(C,)).astype(np.float32),
+                    "clews_mask": rng.random(L) > 0.7,  # True = invalid
+                }
+                versions.append((vid, mm))
+                ref_item += [vid, {
+                    "wealy": {"embeddings": torch.from_numpy(mm["wealy"]["embeddings"])},
+                    "full_clews": torch.from_numpy(mm["full_clews"]),
+                    "avg_clews": torch.from_numpy(mm["avg_clews"]),
+                    "clews_mask": torch.from_numpy(mm["clews_mask"]),
+                }]
+            ours.append((i, versions))
+            ref.append(ref_item)
+
+        conf = _ConfShim(model={"name": "wealy-clews"})
+        fn = ref_collate.create_collate_fn(conf, deterministic=True)
+        want = fn(ref)
+        got = collate_wealy_clews(ours, wealy_mode="deterministic")
+        np.testing.assert_array_equal(np.asarray(want[0]), got["clique_ids"])
+        for j in range(n):
+            base = 1 + j * 5
+            np.testing.assert_array_equal(
+                np.asarray(want[base]), got["version_ids"][:, j]
+            )
+            np.testing.assert_allclose(
+                np.asarray(want[base + 1]), got["wealy"][:, j], rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(want[base + 2]), got["full_clews"][:, j], rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(want[base + 3]), got["avg_clews"][:, j], rtol=1e-6
+            )
+            np.testing.assert_array_equal(
+                np.asarray(want[base + 4]), got["clews_mask"][:, j]
+            )
+
+    def test_wealy_test_mode(self, rng, ref_collate):
+        from wealy_tpu.data.collate_factory import wealy_test_mode_items
+
+        B, n = 2, 2
+        ours, ref = [], []
+        for i in range(B):
+            versions, ref_item = [], [i]
+            for j in range(n):
+                vid = 10 * i + j
+                mm = {
+                    "wealy": {"embeddings": rng.normal(size=(2 + j, 8)).astype(np.float32)},
+                    "full_clews": rng.normal(size=(4, 4)).astype(np.float32),
+                    "avg_clews": rng.normal(size=(4,)).astype(np.float32),
+                    "clews_mask": np.zeros(4, bool),
+                }
+                versions.append((vid, mm))
+                ref_item += [vid, {
+                    k: ({"embeddings": torch.from_numpy(v["embeddings"])}
+                        if k == "wealy" else torch.from_numpy(v))
+                    for k, v in mm.items()
+                }]
+            ours.append((i, versions))
+            ref.append(ref_item)
+
+        want = ref_collate.handle_wealy_test_mode(ref, n_per_class=n)
+        got = wealy_test_mode_items(ours)
+        assert len(want) == len(got)
+        for w, g in zip(want, got):
+            assert w["clique_id"] == g["clique_id"]
+            assert w["version_id"] == g["version_id"]
+            assert (w["batch_idx"], w["version_idx"]) == (g["batch_idx"], g["version_idx"])
+            np.testing.assert_allclose(
+                np.asarray(w["wealy_all_chunks"]), g["wealy_all_chunks"], rtol=1e-6
+            )
+
+    def test_whisper_clews_uniform_seq(self, rng, ref_collate):
+        """whisper-clews 6-item collate with uniform seq lengths (the
+        reference assumes them; our collate's chunking is the identity when
+        T == chunk_size)."""
+        from wealy_tpu.data.collate_factory import collate_whisper_clews
+
+        B, n, T, Cw, L, C = 3, 2, 8, 6, 4, 4
+        ours, ref = [], []
+        for i in range(B):
+            versions, ref_item = [], [i]
+            for j in range(n):
+                vid = 10 * i + j
+                seq = rng.normal(size=(T, Cw)).astype(np.float32)
+                mm_ours = {
+                    "whisper_seq": seq,
+                    "full_clews": rng.normal(size=(L, C)).astype(np.float32),
+                    "avg_clews": rng.normal(size=(C,)).astype(np.float32),
+                    "clews_mask": np.zeros(L, bool),
+                }
+                versions.append((vid, mm_ours))
+                ref_item += [vid, {
+                    "whisper": torch.from_numpy(seq),
+                    "whisper_mask": torch.zeros(T, dtype=torch.bool),
+                    "full_clews": torch.from_numpy(mm_ours["full_clews"]),
+                    "avg_clews": torch.from_numpy(mm_ours["avg_clews"]),
+                    "clews_mask": torch.from_numpy(mm_ours["clews_mask"]),
+                }]
+            ours.append((i, versions))
+            ref.append(ref_item)
+
+        conf = _ConfShim(model={"name": "whisper-clews"})
+        fn = ref_collate.create_collate_fn(conf)
+        want = fn(ref)
+        got = collate_whisper_clews(ours, chunk_size=T, use_random_chunks=False)
+        np.testing.assert_array_equal(np.asarray(want[0]), got["clique_ids"])
+        for j in range(n):
+            base = 1 + j * 6
+            np.testing.assert_array_equal(
+                np.asarray(want[base]), got["version_ids"][:, j]
+            )
+            np.testing.assert_allclose(
+                np.asarray(want[base + 1]), got["whisper_seq"][:, j], rtol=1e-6
+            )
+            # conventions agree: reference whisper_mask True=invalid, ours too
+            np.testing.assert_array_equal(
+                np.asarray(want[base + 2]), got["whisper_mask"][:, j]
+            )
+            np.testing.assert_allclose(
+                np.asarray(want[base + 3]), got["full_clews"][:, j], rtol=1e-6
+            )
+            np.testing.assert_array_equal(
+                np.asarray(want[base + 5]), got["clews_mask"][:, j]
+            )

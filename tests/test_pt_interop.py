@@ -173,17 +173,15 @@ def ref_lib():
         mod = types.ModuleType("omegaconf")
         mod.OmegaConf = _OC
         sys.modules["omegaconf"] = mod
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    from lib.embedding_dataset.base_dataset import (  # type: ignore
-        EmbeddingDataset as RefEmbeddingDataset,
-    )
-    from lib.embedding_dataset.multimodal_dataset import (  # type: ignore
-        MultimodalEmbeddingDataset_WEALYCLEWS as RefWealyClews,
-        MultimodalEmbeddingDataset_WHISPERCLEWS as RefWhisperClews,
-    )
+    from _ref_import import import_ref
 
-    return RefEmbeddingDataset, RefWealyClews, RefWhisperClews
+    base = import_ref("embedding_dataset.base_dataset")
+    mm = import_ref("embedding_dataset.multimodal_dataset")
+    return (
+        base.EmbeddingDataset,
+        mm.MultimodalEmbeddingDataset_WEALYCLEWS,
+        mm.MultimodalEmbeddingDataset_WHISPERCLEWS,
+    )
 
 
 @pytest.fixture

@@ -16,18 +16,17 @@ import sys
 import numpy as np
 import pytest
 
-REF = "/root/reference"
+from _ref_import import import_ref, ref_exists
 
 tops = None
 ref_layers = None
 torch = None
-if __import__("pathlib").Path(REF, "lib", "tensor_ops.py").exists():
-    sys.path.insert(0, REF)
+if ref_exists("tensor_ops.py"):
     try:
         import torch  # noqa: F401
 
-        from lib import tensor_ops as tops  # type: ignore
-        from lib import layers as ref_layers  # type: ignore
+        tops = import_ref("tensor_ops")
+        ref_layers = import_ref("layers")
     except Exception:  # pragma: no cover - optional dependency gaps
         tops = None
 
@@ -292,9 +291,7 @@ def _ref_losses():
         sys.modules["pytorch_metric_learning"] = stub
         sys.modules["pytorch_metric_learning.losses"] = stub.losses
         sys.modules["pytorch_metric_learning.miners"] = stub.miners
-    from lib import losses as ref_losses  # type: ignore
-
-    return ref_losses
+    return import_ref("losses")
 
 
 def _loss_batch(rng, B=16, C=8):
@@ -452,9 +449,7 @@ class TestCollateParity:
             mod = types.ModuleType("omegaconf")
             mod.OmegaConf = _OC
             sys.modules["omegaconf"] = mod
-        from lib.embedding_dataset import collate_functions as CF  # type: ignore
-
-        return CF
+        return import_ref("embedding_dataset.collate_functions")
 
     def _cmp_fixed(self, ref_out, batch, n=2):
         np.testing.assert_array_equal(np.asarray(ref_out[0]), batch.clique_ids)

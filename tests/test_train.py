@@ -121,6 +121,24 @@ def _toy_loader(seed=0, T=12, C=16):
     return load
 
 
+def _det_loader(T=12, C=16):
+    """Stateless loader: each version's embedding is a pure function of its
+    key, so two runs (e.g. interrupted + resumed) see identical data."""
+    import zlib
+
+    def load(version_key):
+        clique = version_key.split("-")[0]
+        center = np.random.default_rng(zlib.crc32(clique.encode())).normal(
+            size=(C,)
+        )
+        noise = np.random.default_rng(
+            zlib.crc32(version_key.encode())
+        ).normal(size=(T, C)) * 0.3
+        return (center[None, :] + noise).astype(np.float32)
+
+    return load
+
+
 class TestTrainStep:
     def _setup(self, mesh=None, B=8):
         model = ProjectionHead(zdim=16, hidden=(16,))
@@ -261,6 +279,79 @@ class TestFit:
             return [h["loss"] for h in writer.history]
 
         np.testing.assert_allclose(run(None), run(make_mesh()), rtol=2e-4)
+
+    def test_seeded_resume_matches_uninterrupted(self, tmp_path):
+        """Round-3 VERDICT weak #2 'Done' criterion: train N steps, kill,
+        resume from the checkpoint — the resumed run continues the
+        UNINTERRUPTED run's loss trajectory exactly (optimizer moments + LR
+        schedule restored via restore_state; data order restored via the
+        seekable (seed, epoch, batch) stream + data-state sidecar; resume
+        lands mid-epoch)."""
+        from wealy_tpu.train.checkpoint import CheckpointManager
+
+        def fresh():
+            md = _toy_md()
+            sampler = CliqueSampler(md, "train", _det_loader(), n_per_class=2, seed=3)
+            model = ProjectionHead(zdim=8, hidden=(16,))
+            state = create_train_state(
+                model,
+                (jnp.zeros((4, 12, 16)), jnp.ones((4, 12), bool)),
+                tx=make_optimizer(lr=3e-3, warmup_steps=2, max_steps=50),
+            )
+            step = make_train_step(model, clews_loss)
+            return sampler, state, step
+
+        kw = dict(batch_size=4, chunk_size=12, data_seed=3)
+        # uninterrupted 12-step run (3 epochs of 4 batches)
+        sampler, state, step = fresh()
+        _, w_full = fit(state, step, sampler, max_steps=12,
+                        writer=MetricsWriter(log_every=0), **kw)
+        full = [h["loss"] for h in w_full.history]
+
+        # interrupted at step 5 (epoch 1, batch 1 — mid-epoch), checkpointed
+        ck = CheckpointManager(tmp_path / "ck")
+        sampler, state, step = fresh()
+        fit(state, step, sampler, max_steps=5,
+            writer=MetricsWriter(log_every=0),
+            checkpoint_manager=ck, checkpoint_every=5, **kw)
+        ds = ck.restore_data_state()
+        assert ds == {"epoch": 1, "next_batch": 1, "data_seed": 3,
+                      "batch_size": 4}
+
+        # fresh process equivalent: re-init, restore FULL state, resume
+        sampler, state2, step2 = fresh()
+        state2 = ck.restore_state(state2)
+        assert int(state2.step) == 5
+        _, w_res = fit(state2, step2, sampler, max_steps=12,
+                       writer=MetricsWriter(log_every=0),
+                       start_epoch=ds["epoch"], start_batch=ds["next_batch"],
+                       **kw)
+        resumed = [h["loss"] for h in w_res.history]
+        np.testing.assert_allclose(resumed, full[5:], rtol=1e-6)
+
+    def test_fit_writes_final_save_state_payload(self, tmp_path):
+        """fit() writes its final checkpoint in the ONE save_state format
+        (step + params + opt_state) — no more interleaved payload shapes."""
+        from wealy_tpu.train.checkpoint import CheckpointManager
+
+        md = _toy_md()
+        sampler = CliqueSampler(md, "train", _det_loader(), n_per_class=2, seed=0)
+        model = ProjectionHead(zdim=8, hidden=(16,))
+        state = create_train_state(
+            model,
+            (jnp.zeros((4, 12, 16)), jnp.ones((4, 12), bool)),
+            tx=make_optimizer(lr=3e-3, warmup_steps=1, max_steps=50),
+        )
+        step = make_train_step(model, clews_loss)
+        ck = CheckpointManager(tmp_path / "ck")
+        state, _ = fit(state, step, sampler, batch_size=4, chunk_size=12,
+                       max_steps=3, writer=MetricsWriter(log_every=0),
+                       checkpoint_manager=ck, checkpoint_every=100,
+                       data_seed=0)
+        # final (non-periodic) save exists and restores as full state
+        assert ck.latest_step() == 3
+        raw = ck.restore()
+        assert set(raw) >= {"step", "params", "opt_state"}
 
     def test_batch_to_device_layout(self, rng):
         from wealy_tpu.data.chunking import collate_fixed_length

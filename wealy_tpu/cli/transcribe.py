@@ -72,12 +72,15 @@ def transcribe_split(
 
     done, skipped, failed = [], [], []
     versions = ds.versions[:limit] if limit else ds.versions
+    # O(1) key->row lookup (a versions.index() scan per song is O(N^2) over
+    # the split — ~3.8e9 string compares at SHS's 87K-version train split)
+    index_of = {v: i for i, v in enumerate(ds.versions)}
     for version_key in versions:
         out_path = root / f"{version_key.replace('/', '__')}.txt"
         if out_path.exists() and not overwrite:
             skipped.append(version_key)
             continue
-        item = ds[ds.versions.index(version_key)]
+        item = ds[index_of[version_key]]
         try:
             chunks = chunk_waveform(item.waveform)
             from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas

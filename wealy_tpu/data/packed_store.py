@@ -69,6 +69,14 @@ class PackedStore:
         )
         self.bin_path = self.root / f"{stem}.bin"
         self.manifest_path = self.root / f"{stem}.json"
+        if dataset_name and not self.manifest_path.exists():
+            # legacy fallback: packs written before dataset-namespacing live
+            # at packed_{kind}.*. Safe to serve — the manifest `dataset`
+            # check below rejects a legacy pack written for another dataset.
+            legacy_bin = self.root / f"packed_{self.kind}.bin"
+            legacy_man = self.root / f"packed_{self.kind}.json"
+            if legacy_man.exists() and legacy_bin.exists():
+                self.bin_path, self.manifest_path = legacy_bin, legacy_man
         self._mmap: Optional[np.memmap] = None
         self._index: Dict[str, tuple] = {}  # key -> (flat_row_offset, shape)
         self._dim = 0

@@ -60,6 +60,7 @@ class CliqueSampler:
         self.n_per_class = n_per_class
         self.p_samesong = p_samesong
         self.augment = augment
+        self.seed = int(seed)
         self.rng = np.random.default_rng(seed)
         self.labels = split_clique_labels(md)[split]
         self.id_fn = id_fn or (lambda v: int(md.info[v]["id"]))
@@ -108,3 +109,34 @@ class CliqueSampler:
             self.rng.shuffle(order)
         for start in range(0, len(order) - batch_size + 1, batch_size):
             yield [self.sample_item(int(i)) for i in order[start : start + batch_size]]
+
+    def n_batches(self, batch_size: int) -> int:
+        return len(self.versions) // batch_size
+
+    def epoch_batches(
+        self, epoch: int, batch_size: int, start_batch: int = 0
+    ) -> Iterator[tuple]:
+        """Seekable deterministic epoch stream: batch ``b`` of epoch ``e`` is
+        a pure function of ``(seed, e, b)`` — the epoch order derives from
+        ``default_rng([seed, e])`` and every batch's positive/chunk draws
+        from ``default_rng([seed, e, b])``. Exact checkpoint resume therefore
+        needs only ``(epoch, next_batch)`` — no RNG-state persistence, no
+        replay (the stateless-randomness analog of ``jax.random.fold_in``).
+
+        Yields ``(batch_index, batch_rng, items)``; ``batch_rng`` has the
+        remaining stream for the collate's chunk draws. Trailing incomplete
+        batches are dropped (train drop_last semantics)."""
+        order = np.arange(len(self.versions))
+        np.random.default_rng([self.seed, epoch]).shuffle(order)
+        for b in range(start_batch, len(order) // batch_size):
+            rng = np.random.default_rng([self.seed, epoch, b])
+            keep = self.rng
+            self.rng = rng  # sample_item draws come from the batch stream
+            try:
+                items = [
+                    self.sample_item(int(i))
+                    for i in order[b * batch_size : (b + 1) * batch_size]
+                ]
+            finally:
+                self.rng = keep
+            yield b, rng, items

@@ -45,8 +45,13 @@ class CheckpointManager:
         return self._mgr.all_steps()
 
     # -- full-TrainState convenience (params + optimizer + step) ----------
-    def save_state(self, state) -> None:
-        """Persist a TrainState's resumable parts (tx itself is code)."""
+    def save_state(self, state, data_state: Optional[dict] = None) -> None:
+        """Persist a TrainState's resumable parts (tx itself is code).
+
+        ``data_state`` (JSON-able; e.g. ``{"epoch": e, "next_batch": b}``
+        from the seekable sampler stream) is written as a sidecar so a
+        resumed run continues the exact data order of the uninterrupted
+        one."""
         payload = {
             "step": int(state.step),
             "params": state.params,
@@ -55,6 +60,26 @@ class CheckpointManager:
         if state.batch_stats is not None:
             payload["batch_stats"] = state.batch_stats
         self.save(int(state.step), payload)
+        if data_state is not None:
+            import json
+
+            p = self.directory / f"data_state_{int(state.step)}.json"
+            tmp = p.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps(data_state))
+            tmp.replace(p)
+
+    def restore_data_state(self, step: Optional[int] = None) -> Optional[dict]:
+        """The data-order sidecar saved with ``save_state``, or None (older
+        checkpoints / callers that did not track data order)."""
+        import json
+
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        p = self.directory / f"data_state_{int(step)}.json"
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
 
     def restore_state(self, state):
         """Restore into an initialized TrainState, preserving each leaf's

@@ -126,6 +126,11 @@ class ModelConfig:
 @dataclasses.dataclass
 class TrainConfig:
     loss: str = "clews"  # {clews, ntxent, triplet}
+    # loss constructor kwargs, forwarded to get_loss(loss, **loss_params) —
+    # the reference's constructor surface (lib/losses.py:185-200: CLEWS
+    # gamma/b/uniformity_weight/warmup_steps; ntxent temperature; triplet
+    # margin). Empty dict = the reference defaults.
+    loss_params: dict = dataclasses.field(default_factory=dict)
     batch_size: int = 32
     lr: float = 1e-4
     weight_decay: float = 1e-4

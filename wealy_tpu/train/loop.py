@@ -83,11 +83,16 @@ def fit(
     eval_every: int = 1000,
     mesh=None,
     prefetch_depth: int = 2,
+    data_seed: Optional[int] = None,
+    start_epoch: int = 0,
+    start_batch: int = 0,
 ):
     """Run training until ``max_steps`` (or ``epochs``). Returns final state.
 
     ``make_batch(items) -> dict`` overrides the default single-modal collate
-    (use wealy_tpu.train.multimodal adapters for the fusion models).
+    (use wealy_tpu.train.multimodal adapters for the fusion models). It may
+    take a second ``rng`` argument to receive the per-batch generator in
+    seeded mode (below).
 
     ``mesh``: when given, every batch is ``shard_batch``-placed on the mesh's
     ``data`` axis before the step — multi-chip training is default-correct
@@ -98,39 +103,79 @@ def fit(
     ``eval_fn(state) -> dict`` runs every ``eval_every`` steps; its scalars are
     written to the metrics stream prefixed ``val_`` (the conf.train.eval_every
     channel of the implied reference driver, SURVEY.md §5.6).
+
+    ``data_seed``: when given, batches come from the sampler's seekable
+    deterministic stream (``epoch_batches``: batch ``b`` of epoch ``e`` is a
+    pure function of ``(seed, e, b)``), checkpoints carry a
+    ``{"epoch", "next_batch"}`` data-state sidecar, and ``start_epoch`` /
+    ``start_batch`` (from ``CheckpointManager.restore_data_state``) resume
+    the exact data order of the uninterrupted run — loss trajectories match
+    bit-for-bit. Without it, data order is the legacy stateful-rng stream
+    and resume replays epochs from the top.
+
+    Checkpoints (periodic AND a final one at loop exit) are written with
+    ``save_state`` — ONE payload format ({step, params, opt_state
+    [, batch_stats]}), restorable sharding-preserving via ``restore_state``.
     """
+    import inspect
+
     from wealy_tpu.utils.prefetch import prefetch
 
     writer = writer or MetricsWriter()
-    rng = rng or np.random.default_rng(0)
+    rng = rng or np.random.default_rng(data_seed or 0)
     if make_batch is None:
 
-        def make_batch(items):
+        def make_batch(items, brng=None):
             return batch_to_device(
                 collate_fixed_length(
-                    items, chunk_size=chunk_size, use_random_chunks=True, rng=rng
+                    items, chunk_size=chunk_size, use_random_chunks=True,
+                    rng=brng if brng is not None else rng,
                 )
             )
 
+        takes_rng = True
+    else:
+        try:
+            takes_rng = len(inspect.signature(make_batch).parameters) >= 2
+        except (TypeError, ValueError):
+            takes_rng = False
+
+    seeded = data_seed is not None
     if mesh is not None:
         from wealy_tpu.train.step import shard_batch
 
-        def produce(items):
-            return shard_batch(make_batch(items), mesh)
-    else:
-        produce = make_batch
+    def produce(entry):
+        if seeded:
+            _, brng, items = entry
+            batch = make_batch(items, brng) if takes_rng else make_batch(items)
+        else:
+            batch = make_batch(entry, None) if takes_rng else make_batch(entry)
+        return shard_batch(batch, mesh) if mesh is not None else batch
 
     step = int(state.step)
-    epoch = 0
+    epoch = int(start_epoch)
+    first_start = int(start_batch)
+    epochs_run = 0
     done = False
-    while not done and (epochs is None or epoch < epochs):
-        batches = prefetch(
-            sampler.epoch(shuffle=True, batch_size=batch_size),
-            depth=prefetch_depth,
-            transform=produce,
-        )
+    saved_at = None
+    data_state = None
+    while not done and (epochs is None or epochs_run < epochs):
+        if seeded:
+            n_avail = sampler.n_batches(batch_size)
+            if first_start >= n_avail > 0:
+                # resumed exactly at an epoch boundary
+                epoch += 1
+                first_start = 0
+                continue
+            stream = sampler.epoch_batches(epoch, batch_size, first_start)
+            b_iter = iter(sampler_b for sampler_b in range(first_start, n_avail))
+        else:
+            stream = sampler.epoch(shuffle=True, batch_size=batch_size)
+            b_iter = None
+        batches = prefetch(stream, depth=prefetch_depth, transform=produce)
         n_batches = 0
         for batch in batches:
+            b = next(b_iter) if b_iter is not None else None
             n_batches += 1
             state, logdict = train_step(state, batch)
             step += 1
@@ -138,8 +183,12 @@ def fit(
             if eval_fn is not None and step % eval_every == 0:
                 val = eval_fn(state)
                 writer.write(step, {f"val_{k}": v for k, v in val.items()})
+            if seeded:
+                data_state = {"epoch": epoch, "next_batch": b + 1,
+                              "data_seed": data_seed, "batch_size": batch_size}
             if checkpoint_manager is not None and step % checkpoint_every == 0:
-                checkpoint_manager.save(step, state)
+                checkpoint_manager.save_state(state, data_state=data_state)
+                saved_at = step
             if step >= max_steps:
                 done = True
                 break
@@ -153,4 +202,8 @@ def fit(
                 f"dropped). Reduce train.batch_size or check dataset filters."
             )
         epoch += 1
+        epochs_run += 1
+        first_start = 0
+    if checkpoint_manager is not None and saved_at != step:
+        checkpoint_manager.save_state(state, data_state=data_state)
     return state, writer

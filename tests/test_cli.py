@@ -148,6 +148,63 @@ class TestTrainCLI:
         assert np.isfinite(out["final_loss"])
 
 
+class TestAutoStreaming:
+    def test_flag_logic(self):
+        """_auto_streaming flips to the streaming (and exact chunk-set)
+        ranking above the threshold, honors --no-streaming, leaves small
+        corpora alone."""
+        import argparse
+
+        from wealy_tpu.cli.main import AUTO_STREAM_THRESHOLD, _auto_streaming
+
+        def ns(**kw):
+            base = dict(streaming=False, no_streaming=False, chunk_sets=False)
+            base.update(kw)
+            return argparse.Namespace(**base)
+
+        a = ns()
+        _auto_streaming(a, AUTO_STREAM_THRESHOLD + 1, exact_chunk_sets=True)
+        assert a.streaming and a.chunk_sets
+
+        a = ns()
+        _auto_streaming(a, AUTO_STREAM_THRESHOLD + 1, exact_chunk_sets=False)
+        assert a.streaming and not a.chunk_sets
+
+        a = ns(no_streaming=True)
+        _auto_streaming(a, 10 * AUTO_STREAM_THRESHOLD)
+        assert not a.streaming
+
+        a = ns()
+        _auto_streaming(a, AUTO_STREAM_THRESHOLD)
+        assert not a.streaming and not a.chunk_sets
+
+
+class TestFusionValHook:
+    @pytest.mark.parametrize("name", ["whisper-clews", "wealy-clews"])
+    def test_fusion_train_emits_val_map(self, project, capsys, tmp_path, name):
+        """Fusion-model training gets the same val MAP/MR1 hook as the
+        single-modal head (round-3 VERDICT weak #3)."""
+        root, cpath, _ = project
+        conf = json.loads(cpath.read_text())
+        conf["model"]["name"] = name
+        conf["model"]["zdim"] = 16
+        conf["path"]["checkpoints"] = str(tmp_path / f"ckv_{name}")
+        conf["train"]["eval_every"] = 2
+        conf["train"]["metrics_jsonl"] = str(tmp_path / f"v_{name}.jsonl")
+        cp = tmp_path / f"conf_v_{name}.json"
+        cp.write_text(json.dumps(conf))
+        rc = main(["train", "--config", str(cp), "--max-steps", "2", "--fresh"])
+        assert rc == 0
+        capsys.readouterr()
+        records = [
+            json.loads(l)
+            for l in (tmp_path / f"v_{name}.jsonl").read_text().splitlines()
+        ]
+        val = [r for r in records if "val_MAP" in r]
+        assert val and 0.0 <= val[0]["val_MAP"] <= 1.0
+        assert "val_MR1" in val[0]
+
+
 class TestResumeCLI:
     def test_cli_resume_continues_trajectory(self, project, capsys, tmp_path):
         """`train` killed at step 5 and re-invoked resumes the EXACT loss

@@ -32,11 +32,15 @@ RSS_BOUND_MB = 3000  # monolithic whisper input ALONE would be ~7700 MB
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scale30k")
+    return _build_corpus(root, N_CLIQUES)
+
+
+def _build_corpus(root, n_cliques):
     import pandas as pd
 
     from wealy_tpu.data.packed_store import PackedStore
 
-    root = tmp_path_factory.mktemp("scale30k")
     lc = root / "lc"
     lc.mkdir()
     rng = np.random.default_rng(0)
@@ -55,12 +59,12 @@ def corpus(tmp_path_factory):
             }
         )
 
-    big = split_frame(np.arange(1, N_CLIQUES + 1))
+    big = split_frame(np.arange(1, n_cliques + 1))
     big.to_csv(lc / "test_no_dup.csv", index=False)
     big.to_csv(lc / "val_no_dup.csv", index=False)
     # small DISTINCT-clique train split (the overlap filter drops cliques
     # shared across splits) so `train` has sane batches
-    small = split_frame(np.arange(N_CLIQUES + 1, N_CLIQUES + 17))
+    small = split_frame(np.arange(n_cliques + 1, n_cliques + 17))
     small.to_csv(lc / "train_no_dup.csv", index=False)
 
     both = pd.concat([big, small])
@@ -180,4 +184,48 @@ class TestScale30K:
         assert rss < RSS_BOUND_MB, (
             f"train val hook peaked at {rss:.0f} MB (monolithic val collate "
             f"alone would be ~7700 MB)"
+        )
+
+    def test_auto_streaming_default_bounded(self, tmp_path_factory):
+        """Round-3 VERDICT weak #5 'Done' criterion: `evaluate` WITHOUT
+        --streaming above the auto-streaming threshold (5K songs here)
+        switches to the streaming path by itself — bounded RSS, correct
+        metrics — instead of defaulting to the monolithic (S, S) layout."""
+        root = tmp_path_factory.mktemp("scale5k")
+        _, cpath = _build_corpus(root, 2500)  # 5K versions
+        metrics, rss = _run_bounded(
+            cpath,
+            ["evaluate", "--config", str(cpath), "--split", "test",
+             "--song-group", "64"],  # note: NO --streaming flag
+        )
+        assert metrics["n_queries"] == 5000
+        assert metrics["MAP"] > 0.5
+        assert rss < RSS_BOUND_MB, (
+            f"auto-streaming evaluate peaked at {rss:.0f} MB"
+        )
+
+    def test_train_val_hook_multimodal_bounded(self, corpus):
+        """Round-3 VERDICT weak #3 'Done' criterion: `train` with
+        model.name=whisper-clews emits val_MAP to the JSONL sink over the
+        30K-version val split with bounded RSS (the fusion family trained
+        blind before)."""
+        root, cpath = corpus
+        conf = json.loads(cpath.read_text())
+        conf["train"]["metrics_jsonl"] = str(root / "m_mm.jsonl")
+        conf["train"]["val_group"] = 256
+        cpath2 = root / "conf_train_mm.json"
+        cpath2.write_text(json.dumps(conf))
+        _, rss = _run_bounded(
+            cpath2,
+            ["train", "--config", str(cpath2), "--max-steps", "1", "--fresh"],
+        )
+        records = [
+            json.loads(l)
+            for l in (root / "m_mm.jsonl").read_text().splitlines()
+        ]
+        val = [r for r in records if "val_MAP" in r]
+        assert val and val[0]["val_MAP"] > 0.5
+        assert rss < RSS_BOUND_MB, (
+            f"fusion train val hook peaked at {rss:.0f} MB (monolithic val "
+            f"collate alone would be ~7700 MB)"
         )

@@ -107,3 +107,84 @@ def test_transcribe_resume_skip(project, capsys):
                "--max-len", "8", "--language", "-1"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["skipped"] == 2 and out["done"] == 0
+
+
+def test_batched_requires_greedy(project, capsys):
+    _, cpath, _ = project
+    rc = main(["transcribe", "--config", str(cpath), "--split", "train",
+               "--batched"])
+    assert rc == 2
+
+
+def test_batched_matches_sequential_greedy(project, capsys):
+    """The cross-song batched driver produces byte-identical .txt files to
+    the sequential greedy path (greedy rows are batch-composition
+    independent; padded rows never leak)."""
+    import shutil
+
+    tmp_path, cpath, cfg = project
+    tree = tmp_path / "cache" / "transcriptions" / "test_set" / "train"
+    rc = main(["transcribe", "--config", str(cpath), "--split", "train",
+               "--max-len", "8", "--language", "-1", "--greedy"])
+    assert rc == 0
+    capsys.readouterr()
+    seq = {p.name: p.read_text() for p in tree.glob("*.txt")}
+    assert len(seq) == 2
+    shutil.rmtree(tree)
+
+    rc = main(["transcribe", "--config", str(cpath), "--split", "train",
+               "--max-len", "8", "--language", "-1", "--greedy", "--batched",
+               "--batch-size", "4", "--n-workers", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["done"] == 2 and not out.get("incomplete")
+    assert "throughput" in out
+    batched = {p.name: p.read_text() for p in tree.glob("*.txt")}
+    assert batched == seq
+
+
+@pytest.mark.slow
+def test_batched_host_cost_linear(tmp_path):
+    """The batched driver's host-side cost is O(N) in versions (round-3
+    VERDICT missing #3: the old per-song path did an O(N) versions.index
+    scan per song => O(N^2) — hours of pure Python at SHS's 87K versions).
+    Doubling N twice must scale wall time ~linearly (quadratic would be 16x
+    between the end points; allow generous noise on the shared test box)."""
+    import time
+
+    from wealy_tpu.cli.transcribe import transcribe_split_batched
+    from wealy_tpu.data.metadata import Metadata
+    from wealy_tpu.train.config import Config
+
+    def run(n_versions, out_dir):
+        info, splits = {}, {"train": {}, "val": {}, "test": {}}
+        for ci in range(n_versions // 2):
+            clique = f"c{ci}"
+            splits["train"][clique] = []
+            for v in range(2):
+                key = f"{ci * 2 + v}"
+                info[key] = {"id": int(key), "clique": clique,
+                             "clique_idx": ci, "version_idx": len(info),
+                             "filename": key, "version_key": key}
+                splits["train"][clique].append(key)
+        md = Metadata("lyric-covers", info, splits)
+        config = Config.from_dict({
+            "path": {"cache": str(out_dir), "data": str(out_dir / "na")},
+            "data": {"dataset_name": "lyric-covers", "whisper_set": "w"},
+        })
+
+        def stub_fn(audio):
+            B = audio.shape[0]
+            return (np.full((B, 4), 7, np.int32), np.full((B,), 4, np.int32))
+
+        t0 = time.time()
+        res = transcribe_split_batched(
+            config, md, "train", stub_fn, batch_size=64, n_workers=1,
+            log=lambda *_: None,
+        )
+        assert len(res["done"]) == n_versions and not res["incomplete"]
+        return time.time() - t0
+
+    t1 = run(400, tmp_path / "a")
+    t4 = run(1600, tmp_path / "b")
+    # linear => ~4x; quadratic => ~16x. Generous noise margin.
+    assert t4 < 8 * max(t1, 0.05), (t1, t4)

@@ -125,7 +125,12 @@ def transcribe_split(
             failed.append(version_key)
             log(f"[transcribe] FAILED {version_key}: {e}")
 
-    # census: index the tree and validate every transcription
+    return _census_result(config, root, split, versions, done, skipped, failed)
+
+
+def _census_result(config, root, split, versions, done, skipped, failed) -> dict:
+    """Index the .txt tree and run the validity census (shared by the
+    sequential and batched drivers)."""
     cache = TranscriptionCache(
         root.parent, config.data.dataset_name, config.data.whisper_set, split
     )
@@ -144,3 +149,177 @@ def transcribe_split(
         "n_total": len(versions),
         "cache_file": str(cache.cache_file),
     }
+
+
+def make_transcribe_fn(config: Config, hf_checkpoint=None, *,
+                       language: Optional[int] = 0, max_len: int = 224,
+                       mesh=None):
+    """Jitted batched device path for transcription: fused Pallas mel ->
+    Whisper encoder -> greedy decode, ONE compile for a fixed (B, N_SAMPLES)
+    batch. ``fn(audio) -> (tokens (B, max_len), lengths (B,))``; params are
+    jit arguments (closure params blow up remote-compile requests —
+    BENCH_NOTES.md)."""
+    import jax
+
+    from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas
+    from wealy_tpu.cli.extract import load_whisper_model
+
+    model, params, wcfg = load_whisper_model(config, hf_checkpoint)
+    prompt = default_prompt(wcfg, language=language)
+
+    @jax.jit
+    def _run(p, audio):
+        mel = log_mel_spectrogram_pallas(audio, n_mels=wcfg.n_mels)
+        enc = model.apply({"params": p}, mel, method=Whisper.encode)
+        out = greedy_decode(model, p, enc, wcfg, prompt=prompt, max_len=max_len)
+        return out["tokens"], out["lengths"]
+
+    if mesh is not None:
+        from wealy_tpu.parallel.mesh import data_sharding
+
+        def fn(audio):
+            if audio.shape[0] % mesh.shape["data"] == 0:
+                audio = jax.device_put(audio, data_sharding(mesh, 2))
+            return _run(params, audio)
+    else:
+        def fn(audio):
+            return _run(params, audio)
+
+    fn.prompt_len = len(prompt)
+    return fn
+
+
+def transcribe_split_batched(
+    config: Config,
+    metadata: Metadata,
+    split: str,
+    transcribe_fn=None,
+    *,
+    tokenizer_dir: Optional[str] = None,
+    language: Optional[int] = 0,
+    max_len: int = 224,
+    batch_size: int = 16,
+    mesh=None,
+    limit: Optional[int] = None,
+    overwrite: bool = False,
+    hf_checkpoint: Optional[str] = None,
+    n_workers: int = 4,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """Cross-song batched transcription: the device-saturating Phase-A
+    driver for the reference's full-corpus transcription trees
+    (lib/audio_dataset/cache.py:46-90 consumes ~100K .txt files per
+    whisper_set — the implied upstream job transcribed every version).
+
+    30 s chunks from MANY songs share fixed-size device batches exactly like
+    ``extract_split_batched`` (one jit signature, host decode prefetched,
+    mesh-sharded batch when available); per-chunk token rows scatter back to
+    per-song accumulators that write ``{key}.txt`` as soon as a song
+    completes. Greedy per-chunk decoding (the trivially-batchable mode);
+    long-form sequential decoding stays on :func:`transcribe_split` — its
+    chunk-to-chunk prompt dependence serializes each song by construction.
+
+    Host-side cost is O(N): version lookup is a dict, resume is one stat()
+    per version, accumulators hold only in-flight songs.
+    """
+    from wealy_tpu.cli.extract_batched import _chunk_stream
+    from wealy_tpu.utils.prefetch import prefetch
+    from wealy_tpu.utils.profiling import ThroughputMeter
+
+    if transcribe_fn is None:
+        transcribe_fn = make_transcribe_fn(
+            config, hf_checkpoint, language=language, max_len=max_len,
+            mesh=mesh,
+        )
+    prompt_len = getattr(transcribe_fn, "prompt_len", 0)
+    tokenizer = ByteLevelBPE.from_dir(tokenizer_dir) if tokenizer_dir else None
+    ds = AudioDataset(metadata, split, config.path.data)
+
+    root = (
+        Path(config.path.cache or config.path.working_dir or ".")
+        / "transcriptions"
+        / config.data.whisper_set
+        / split
+    )
+    root.mkdir(parents=True, exist_ok=True)
+
+    def out_path(v: str) -> Path:
+        return root / f"{v.replace('/', '__')}.txt"
+
+    if limit:
+        ds.versions = ds.versions[:limit]
+    versions = list(ds.versions)
+    if not overwrite:
+        todo = [v for v in versions if not out_path(v).exists()]
+        skipped = [v for v in versions if out_path(v).exists()]
+        ds.versions = todo
+    else:
+        skipped = []
+
+    meter = ThroughputMeter(window=20)
+    # per-song accumulators: pieces[chunk_idx] token-id arrays
+    pieces: dict = {}
+    expect: dict = {}
+    done: list = []
+    failed: list = []
+
+    def finish(version_key: str) -> None:
+        toks = pieces.pop(version_key)
+        expect.pop(version_key)
+        parts = []
+        for ids in toks:
+            if tokenizer is not None:
+                parts.append(tokenizer.decode([int(t) for t in ids]))
+            else:
+                parts.append(" ".join(str(int(t)) for t in ids))
+        try:
+            out_path(version_key).write_text(
+                " ".join(p.strip() for p in parts).strip() + "\n"
+            )
+            done.append(version_key)
+        except OSError as e:
+            failed.append(version_key)
+            log(f"[transcribe-batched] FAILED {version_key}: {e}")
+
+    pending: list = []
+
+    def flush(batch):
+        B = len(batch)
+        from wealy_tpu.audio.mel import N_SAMPLES
+
+        audio = np.zeros((batch_size, N_SAMPLES), np.float32)
+        for i, (_, _, _, chunk) in enumerate(batch):
+            audio[i] = chunk
+        tokens, lengths = transcribe_fn(jnp.asarray(audio))
+        tokens = np.asarray(tokens)[:B]
+        lengths = np.asarray(lengths)[:B]
+        meter.tick(B)
+        for (version_key, chunk_idx, n_chunks, _), row, L in zip(
+            batch, tokens, lengths
+        ):
+            expect[version_key] = n_chunks
+            acc = pieces.setdefault(version_key, [None] * n_chunks)
+            acc[chunk_idx] = row[prompt_len : int(L)]
+            if all(p is not None for p in acc):
+                finish(version_key)
+
+    for entry in prefetch(
+        _chunk_stream(ds, None, n_workers=n_workers), depth=2 * batch_size
+    ):
+        pending.append(entry)
+        if len(pending) == batch_size:
+            flush(pending)
+            pending = []
+            if len(done) and len(done) % 200 == 0:
+                log(
+                    f"[transcribe-batched] {len(done)} songs, "
+                    f"{meter.items_per_sec:.1f} chunks/s"
+                )
+    if pending:
+        flush(pending)
+    incomplete = sorted(pieces.keys())
+
+    result = _census_result(config, root, split, versions, done, skipped, failed)
+    result["incomplete"] = incomplete
+    result["throughput"] = meter.report()
+    return result

@@ -139,6 +139,7 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 50
     eval_every: int = 1000
+    val_group: int = 0  # val-hook streaming group size; 0 = max(4, batch_size)
     checkpoint_every: int = 1000
     debug_nans: bool = False  # enable jax_debug_nans + per-step finite checks
     metrics_jsonl: str = ""  # when set, MetricsWriter appends one JSON

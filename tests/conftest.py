@@ -51,3 +51,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+if os.environ.get("WEALY_RSS_LOG"):
+    # Peak-RSS bisection aid: append "peak_mb test_id" after every test so a
+    # jump identifies which test drove the pytest process's high-water mark
+    # (WEALY_RSS_LOG=/path). Diagnostic only — off unless the env var is set.
+    import resource
+
+    @pytest.hookimpl(hookwrapper=True)
+    def pytest_runtest_teardown(item):
+        yield
+        peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        with open(os.environ["WEALY_RSS_LOG"], "a") as f:
+            f.write(f"{peak:.0f} {item.nodeid}\n")

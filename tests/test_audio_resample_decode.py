@@ -108,3 +108,33 @@ class TestWavDecode:
         p.write_bytes(b"\x00")
         with pytest.raises(RuntimeError):
             load_audio(p)
+
+
+class TestHostResample:
+    def test_load_audio_resamples_on_host(self, tmp_path, monkeypatch):
+        """44.1 kHz files resample via the native host polyphase path (no
+        per-song device call from the loader threads) and match the XLA
+        resampler's output."""
+        from wealy_tpu import native
+        from wealy_tpu.audio.decode import _host_resample
+        from wealy_tpu.audio.resample import resample
+
+        sr_in = 44100
+        t = np.arange(sr_in) / sr_in
+        x = (np.sin(2 * np.pi * 440.0 * t) * 0.7).astype(np.float32)
+        want = np.asarray(resample(x, sr_in, 16000))
+        got = _host_resample(x, sr_in, 16000)
+        assert got.shape == want.shape
+        if native.available():
+            # native path taken: numpy output, close to the XLA reference
+            assert isinstance(got, np.ndarray)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_host_resample_falls_back_without_native(self, monkeypatch):
+        from wealy_tpu import native
+        from wealy_tpu.audio.decode import _host_resample
+
+        monkeypatch.setattr(native, "available", lambda: False)
+        x = np.zeros(44100, np.float32)
+        y = _host_resample(x, 44100, 16000)
+        assert y.shape[-1] == 16000

@@ -124,11 +124,19 @@ def _build_corpus(root, n_cliques):
 def _run_bounded(cpath, cli_args, timeout=1500):
     """Run a CLI command in a fresh subprocess; return (last json line,
     peak RSS in MB)."""
+    # peak-RSS probe: /proc/self/status VmHWM, NOT getrusage ru_maxrss.
+    # On this kernel ru_maxrss is INHERITED through fork+exec — a child
+    # reports the pytest parent's historical peak (verified: a parent that
+    # ballooned to 2.2 GB and freed it makes every later child report
+    # 2.2 GB) — which made these tests fail in full-suite context only,
+    # with all four reporting the parent's identical peak. VmHWM belongs
+    # to the mm, which execve replaces, so it is child-local.
     script = (
-        "import resource, sys, json\n"
+        "import re, sys, json\n"
         "from wealy_tpu.cli.main import main\n"
         f"rc = main({cli_args!r})\n"
-        "rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0\n"
+        "with open('/proc/self/status') as f:\n"
+        "    rss = int(re.search(r'VmHWM:\\s+(\\d+) kB', f.read()).group(1)) / 1024.0\n"
         "print(json.dumps({'rc': rc, 'maxrss_mb': rss}))\n"
     )
     env = dict(os.environ)

@@ -37,6 +37,7 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
                 [
                     "g++",
                     "-O3",
+                    "-march=native",  # AVX2/FMA paths in resample_poly
                     "-shared",
                     "-fPIC",
                     "-std=c++17",

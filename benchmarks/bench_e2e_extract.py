@@ -183,6 +183,13 @@ def main(n_songs=48, duration_s=180.0, workers=(1, 2, 4, 8), batch_size=128,
         # stage 2: end-to-end on-chip with pack-direct sink
         embed_fn = make_encoder_embed_fn(config)
         best_w = max(host_rates, key=host_rates.get)
+        # pre-warm the jit (remote compile is minutes through the tunnel and
+        # would otherwise dominate the sustained-throughput measurement)
+        t0 = time.perf_counter()
+        embed_fn(np.zeros((batch_size, SR * 30), np.float32))
+        print(json.dumps({
+            "stage": "compile", "wall_s": round(time.perf_counter() - t0, 1)
+        }), flush=True)
         writer = PackWriter(
             config.path.hidden_states, "x_concat", dataset_name="discogs-vi"
         )

@@ -1,0 +1,195 @@
+"""Serving-surface tests: `index` builds a self-contained retrieval index,
+`query` answers audio / precomputed-embedding queries against it with
+self-retrieval at rank 1 (the serving product the reference's pipeline
+implies but never ships — its flow stops at corpus-internal evaluate)."""
+
+import json
+import wave
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wealy_tpu.cli.main import main
+
+
+def _write_csvs(lc, rows):
+    lc.mkdir(parents=True, exist_ok=True)
+    for split, data in rows.items():
+        pd.DataFrame(
+            data,
+            columns=["original_id", "id", "is_cover", "song_text_type", "label"],
+        ).to_csv(lc / f"{split}_no_dup.csv", index=False)
+
+
+ROWS = {
+    "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A")],
+    "val": [(3, 300, False, "o", "C"), (3, 301, True, "c", "C")],
+    "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D"),
+             (5, 500, False, "o", "E"), (5, 501, True, "c", "E")],
+}
+
+
+@pytest.fixture
+def serve_project(tmp_path):
+    """hs_last_seq store + config (test_cli.py::project shape, test-heavy)."""
+    from wealy_tpu.data.embedding_store import EmbeddingStore
+
+    _write_csvs(tmp_path / "lc", ROWS)
+    store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+    rng = np.random.default_rng(0)
+    centers = {}
+    for data in ROWS.values():
+        for _, vid, _, _, label in data:
+            if label not in centers:
+                centers[label] = rng.normal(size=(24,)).astype(np.float32)
+            T = int(rng.integers(12, 20))
+            emb = centers[label][None] + 0.1 * rng.normal(size=(T, 24)).astype(
+                np.float32
+            )
+            store.save(str(vid), "hs_last_seq.npz", embeddings=emb)
+    conf = {
+        "path": {
+            "lyric_covers_data": str(tmp_path / "lc"),
+            "hidden_states": str(tmp_path / "hs"),
+            "cache": str(tmp_path / "cache"),
+        },
+        "data": {
+            "dataset_name": "lyric-covers",
+            "embedding_type": "last_hidden_states",
+            "embedding_format": "concat",
+            "chunk_size": 8,
+        },
+        "model": {"name": "whisper", "zdim": 16},
+    }
+    cpath = tmp_path / "conf.json"
+    cpath.write_text(json.dumps(conf))
+    return tmp_path, cpath, store
+
+
+def test_index_and_query_self_retrieval(serve_project, capsys):
+    tmp_path, cpath, store = serve_project
+    idx = tmp_path / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["indexed"] == 4 and out["sets"] is True
+
+    with np.load(idx) as d:
+        meta = json.loads(str(d["meta"]))
+        assert set(d.files) >= {"version_keys", "cliques", "vecs", "sets",
+                                "set_mask", "labels", "ids"}
+        assert d["vecs"].shape == (4, 16)
+        assert meta["model"] == "whisper" and meta["has_sets"] is True
+
+    # self-retrieval: query with version 400's own stored sequence, both
+    # scoring modes must put 400 at rank 1
+    qpath = store.path("400", "hs_last_seq.npz")
+    for extra in ([], ["--pooled"]):
+        assert main(["query", "--config", str(cpath), "--index", str(idx),
+                     "--query-embeddings", str(qpath), *extra]) == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["results"][0]["version_key"] == "400", res
+        assert res["results"][0]["rank"] == 1
+        assert res["scoring"] == ("pooled_cosine" if extra else "chunk_set_bpwr")
+        # its cover (same clique D) should beat the unrelated clique E songs
+        assert res["results"][1]["version_key"] == "401", res
+
+
+def test_pooled_only_index(serve_project, capsys):
+    tmp_path, cpath, store = serve_project
+    idx = tmp_path / "serve" / "pooled.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx), "--no-sets"]) == 0
+    capsys.readouterr()
+    with np.load(idx) as d:
+        assert "sets" not in d.files
+    qpath = store.path("500", "hs_last_seq.npz")
+    assert main(["query", "--config", str(cpath), "--index", str(idx),
+                 "--query-embeddings", str(qpath), "--k", "2"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["scoring"] == "pooled_cosine"  # no sets -> cosine fallback
+    assert len(res["results"]) == 2
+    assert res["results"][0]["version_key"] == "500"
+
+
+def test_query_rejects_mismatched_index(serve_project, capsys, tmp_path):
+    _, cpath, store = serve_project
+    idx = tmp_path / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+    conf = json.loads(cpath.read_text())
+    conf["model"]["zdim"] = 32
+    c2 = tmp_path / "conf2.json"
+    c2.write_text(json.dumps(conf))
+    capsys.readouterr()
+    assert main(["query", "--config", str(c2), "--index", str(idx),
+                 "--query-embeddings", str(store.path("400", "hs_last_seq.npz"))]
+                ) == 2
+
+
+def _write_wav(path, seconds, sr=16000, freq=440.0):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    t = np.arange(int(seconds * sr)) / sr
+    x = (np.sin(2 * np.pi * freq * t) * 0.4 * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+
+
+def test_audio_query_end_to_end(tmp_path, capsys):
+    """Raw wav -> dev-whisper x_concat embed -> head -> index search: the
+    query's own song ranks first. Exercises the full serving path
+    (decode, 30 s chunking, encoder kind dispatch, head, redux scoring)."""
+    from wealy_tpu.cli.serve import embed_query_audio
+    from wealy_tpu.data.embedding_store import EmbeddingStore
+    from wealy_tpu.train.config import Config
+
+    rows = {
+        "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A")],
+        "val": [(3, 300, False, "o", "C"), (3, 301, True, "c", "C")],
+        "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D")],
+    }
+    _write_csvs(tmp_path / "lc", rows)
+    conf = {
+        "path": {
+            "lyric_covers_data": str(tmp_path / "lc"),
+            "hidden_states": str(tmp_path / "hs"),
+            "cache": str(tmp_path / "cache"),
+        },
+        "data": {
+            "dataset_name": "lyric-covers",
+            "embedding_type": "encoder",
+            "embedding_format": "concat",
+            "chunk_size": 2,
+        },
+        "model": {"name": "whisper", "zdim": 8, "whisper_size": "dev"},
+    }
+    cpath = tmp_path / "conf.json"
+    cpath.write_text(json.dumps(conf))
+    config = Config.from_dict(conf)
+
+    # corpus x_concat embeddings produced by the SAME path a query takes,
+    # from distinct waveforms (31 s -> 2 chunks each)
+    store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+    wavs = {}
+    for (_, vid, *_r), freq in zip(
+        [r for d in rows.values() for r in d], [220, 260, 300, 340, 392, 440]
+    ):
+        w = tmp_path / "audio" / f"{vid}.wav"
+        _write_wav(w, seconds=31.0, freq=float(freq))
+        wavs[str(vid)] = w
+        store.save(str(vid), "x_concat.npz",
+                   embeddings=embed_query_audio(config, str(w)))
+
+    idx = tmp_path / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+    capsys.readouterr()
+    assert main(["query", "--config", str(cpath), "--index", str(idx),
+                 "--audio", str(wavs["401"]), "--k", "2"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["results"][0]["version_key"] == "401", res
+    assert res["query"] == str(wavs["401"])

@@ -1275,6 +1275,51 @@ def build_parser() -> argparse.ArgumentParser:
         "blocks instead of chunk-pooled song vectors",
     )
     ev.set_defaults(fn=cmd_evaluate)
+
+    # serving surface (cli/serve.py): corpus index + audio query
+    from wealy_tpu.cli.serve import cmd_index, cmd_query
+
+    ix = sub.add_parser(
+        "index", help="embed a split into a serving index (.npz)"
+    )
+    ix.add_argument("--config", required=True)
+    ix.add_argument("--split", default="test")
+    ix.add_argument("--out", required=True)
+    ix.add_argument("--checkpoint", default=None)
+    ix.add_argument(
+        "--no-sets", action="store_true",
+        help="pooled song vectors only (smaller index; query falls back to "
+        "cosine ranking instead of exact chunk-set redux scoring)",
+    )
+    ix.add_argument("--song-group", type=int, default=64)
+    ix.add_argument("--encode-slab", type=int, default=256)
+    ix.set_defaults(fn=cmd_index)
+
+    q = sub.add_parser(
+        "query", help="top-k cover-song search against an index"
+    )
+    q.add_argument("--config", required=True)
+    q.add_argument("--index", required=True)
+    q.add_argument("--audio", nargs="*", default=None,
+                   help="audio files to embed and search (wav/mp3)")
+    q.add_argument(
+        "--query-embeddings", nargs="*", default=None,
+        help="precomputed (T, C) .npz sequences (the escape hatch for "
+        "decoder-kind configs)",
+    )
+    q.add_argument("--checkpoint", default=None)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument(
+        "--pooled", action="store_true",
+        help="force pooled-cosine scoring even when the index carries chunk sets",
+    )
+    q.add_argument("--redux", default="bpwr")
+    q.add_argument(
+        "--block-size", type=int, default=512,
+        help="corpus songs scored per redux block (bounds the transient "
+        "(1, N, s1, s2) tensor)",
+    )
+    q.set_defaults(fn=cmd_query)
     return p
 
 

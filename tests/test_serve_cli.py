@@ -128,6 +128,67 @@ def test_query_rejects_mismatched_index(serve_project, capsys, tmp_path):
                 ) == 2
 
 
+def test_serve_daemon(serve_project, tmp_path):
+    """The `serve` daemon answers /healthz and /query over HTTP with the
+    model+index loaded once (embeddings-payload query: rank-1 self-hit)."""
+    import os
+    import subprocess
+    import sys as _sys
+    import time
+    import urllib.request
+
+    tmp_root, cpath, store = serve_project
+    idx = tmp_root / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "wealy_tpu.cli.main", "serve",
+         "--config", str(cpath), "--index", str(idx), "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        line = proc.stdout.readline()  # startup JSON carries the bound port
+        url = json.loads(line)["serving"]
+        h = json.loads(
+            urllib.request.urlopen(f"{url}/healthz", timeout=30).read()
+        )
+        assert h["ok"] and h["indexed"] == 4 and h["exact_sets"] is True
+
+        with np.load(store.path("400", "hs_last_seq.npz")) as d:
+            seq = d["embeddings"].tolist()
+        t0 = time.perf_counter()
+        req = urllib.request.Request(
+            f"{url}/query",
+            data=json.dumps({"embeddings": seq, "k": 2}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        res = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        cold = time.perf_counter() - t0
+        assert res["results"][0]["version_key"] == "400", res
+        # second query rides the already-compiled path
+        t0 = time.perf_counter()
+        res2 = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        warm = time.perf_counter() - t0
+        assert res2 == res
+        assert warm <= cold + 1.0  # no recompile on the warm path
+
+        # malformed request: daemon answers 400 and stays alive
+        bad = urllib.request.Request(f"{url}/query", data=b"{}")
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert json.loads(
+            urllib.request.urlopen(f"{url}/healthz", timeout=30).read()
+        )["ok"]
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 def _write_wav(path, seconds, sr=16000, freq=440.0):
     path.parent.mkdir(parents=True, exist_ok=True)
     t = np.arange(int(seconds * sr)) / sr

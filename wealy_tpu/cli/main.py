@@ -1320,6 +1320,23 @@ def build_parser() -> argparse.ArgumentParser:
         "(1, N, s1, s2) tensor)",
     )
     q.set_defaults(fn=cmd_query)
+
+    from wealy_tpu.cli.serve import cmd_serve
+
+    sv = sub.add_parser(
+        "serve", help="persistent local search daemon (JSON over HTTP)"
+    )
+    sv.add_argument("--config", required=True)
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--checkpoint", default=None)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=0,
+                    help="0 picks an ephemeral port (printed on startup)")
+    sv.add_argument("--k", type=int, default=10)
+    sv.add_argument("--pooled", action="store_true")
+    sv.add_argument("--redux", default="bpwr")
+    sv.add_argument("--block-size", type=int, default=512)
+    sv.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -137,6 +137,7 @@ def cmd_index(args) -> int:
             "split": args.split,
             "checkpoint_step": step,
             "embedding_file": ds.filename,
+            "emb_dim": int(emb_dim),
             "chunk_size": L,
             "overlap": float(config.data.overlap_percentage),
             "has_sets": not args.no_sets,
@@ -212,103 +213,218 @@ def embed_query_audio(config, audio_path: str) -> np.ndarray:
     return np.asarray(embed_fn(chunks))[:n].astype(np.float32)
 
 
-def cmd_query(args) -> int:
-    """Answer audio queries against an index file."""
-    import jax
+class QueryEngine:
+    """Loaded-once search state: index arrays + jitted head. Shared by the
+    one-shot ``query`` command and the persistent ``serve`` daemon."""
 
-    from wealy_tpu.data.chunking import collate_overlapping
-    from wealy_tpu.eval.retrieval import (
-        regroup_chunks,
-        slabbed_apply,
-        song_distance_matrix,
-    )
-    from wealy_tpu.models.registry import build_model
+    def __init__(self, config, index_path: str, checkpoint: Optional[str],
+                 redux: str = "bpwr", block_size: int = 512):
+        import jax
 
-    from wealy_tpu.cli.main import _load_config
+        from wealy_tpu.models.registry import build_model
 
-    config = _load_config(args.config)
-    with np.load(args.index, allow_pickle=False) as idx:
-        meta = json.loads(str(idx["meta"]))
-        keys = [str(k) for k in idx["version_keys"]]
-        cliques = [str(c) for c in idx["cliques"]]
-        vecs = idx["vecs"]
-        sets = idx["sets"] if "sets" in idx.files else None
-        set_mask = idx["set_mask"] if "sets" in idx.files else None
-    if meta.get("index_version") != INDEX_VERSION:
-        print(f"[query] unsupported index version {meta.get('index_version')}",
-              file=sys.stderr)
-        return 2
-    if meta["model"] != config.model.name or meta["zdim"] != int(config.model.zdim):
-        print(
-            f"[query] index was built for model={meta['model']} "
-            f"zdim={meta['zdim']}; config says {config.model.name}/"
-            f"{config.model.zdim}",
-            file=sys.stderr,
+        self.config = config
+        self.redux = redux
+        self.block_size = max(1, block_size)
+        with np.load(index_path, allow_pickle=False) as idx:
+            self.meta = json.loads(str(idx["meta"]))
+            self.keys = [str(k) for k in idx["version_keys"]]
+            self.cliques = [str(c) for c in idx["cliques"]]
+            self.vecs = idx["vecs"]
+            self.sets = idx["sets"] if "sets" in idx.files else None
+            self.set_mask = idx["set_mask"] if "sets" in idx.files else None
+        if self.meta.get("index_version") != INDEX_VERSION:
+            raise ValueError(
+                f"unsupported index version {self.meta.get('index_version')}"
+            )
+        if (self.meta["model"] != config.model.name
+                or self.meta["zdim"] != int(config.model.zdim)):
+            raise ValueError(
+                f"index was built for model={self.meta['model']} "
+                f"zdim={self.meta['zdim']}; config says "
+                f"{config.model.name}/{config.model.zdim}"
+            )
+        model, sig = build_model(config.model.name, zdim=config.model.zdim)
+        if sig != "single":
+            raise ValueError("fusion models are not servable")
+        self.L = self.meta["chunk_size"]
+        self._model = model
+        self._params, self.checkpoint_step = _load_head_params(
+            config, model, checkpoint, self.L, int(self.meta["emb_dim"])
         )
-        return 2
+        self._embed = jax.jit(
+            lambda e, m: model.apply({"params": self._params}, e, m)
+        )
+        self._vn = self.vecs / np.maximum(
+            np.linalg.norm(self.vecs, axis=-1, keepdims=True), 1e-9
+        )
 
-    model, sig = build_model(config.model.name, zdim=config.model.zdim)
-    if sig != "single":
-        print("[query] fusion models are not servable", file=sys.stderr)
-        return 2
-    L = meta["chunk_size"]
-    exact = sets is not None and not args.pooled
+    def search(self, seq: np.ndarray, k: int = 10, pooled: bool = False):
+        """(T, C) whisper-level sequence -> ranked results list."""
+        from wealy_tpu.data.chunking import collate_overlapping
+        from wealy_tpu.eval.retrieval import (
+            regroup_chunks,
+            slabbed_apply,
+            song_distance_matrix,
+        )
 
-    queries = []
-    if args.query_embeddings:
-        for p in args.query_embeddings:
-            with np.load(p) as d:
-                seq = d["embeddings"] if "embeddings" in d.files else d[d.files[0]]
-            queries.append((p, np.asarray(seq, np.float32)))
-    for p in args.audio or []:
-        queries.append((p, embed_query_audio(config, p)))
-    if not queries:
-        print("[query] no --audio or --query-embeddings given", file=sys.stderr)
-        return 2
-
-    emb_dim = queries[0][1].shape[-1]
-    params, _ = _load_head_params(config, model, args.checkpoint, L, emb_dim)
-    embed = jax.jit(lambda e, m: model.apply({"params": params}, e, m))
-
-    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=-1, keepdims=True), 1e-9)
-    k = min(args.k, len(keys))
-    for name, seq in queries:
+        exact = self.sets is not None and not pooled
         batch = collate_overlapping(
-            [(0, [(0, seq)])], chunk_size=L, overlap=meta["overlap"]
+            [(0, [(0, np.asarray(seq, np.float32))])],
+            chunk_size=self.L, overlap=self.meta["overlap"],
         )
-        z = slabbed_apply(embed, batch.embeddings, batch.masks, slab_size=64)
-        qsets, qmask, _, _ = regroup_chunks(z, batch.chunk_info, batch.chunk_valid)
+        z = slabbed_apply(self._embed, batch.embeddings, batch.masks,
+                          slab_size=64)
+        qsets, qmask, _, _ = regroup_chunks(
+            z, batch.chunk_info, batch.chunk_valid
+        )
         if exact:
-            # exact chunk-set redux scoring, corpus streamed in blocks so the
-            # (1, N, s1, s2) redux tensor stays bounded
-            blk = max(1, args.block_size)
+            # exact chunk-set redux scoring, corpus streamed in blocks so
+            # the (1, N, s1, s2) redux tensor stays bounded
+            blk = self.block_size
             d = np.concatenate([
                 song_distance_matrix(
                     qsets, qmask,
-                    sets[b : b + blk].astype(np.float32),
-                    set_mask[b : b + blk],
-                    redux=args.redux,
+                    self.sets[b : b + blk].astype(np.float32),
+                    self.set_mask[b : b + blk],
+                    redux=self.redux,
                 )[0]
-                for b in range(0, len(keys), blk)
+                for b in range(0, len(self.keys), blk)
             ])
             scores = -d
         else:
             w = qmask[0][:, None].astype(np.float32)
             qv = (qsets[0] * w).sum(axis=0) / np.maximum(w.sum(), 1e-9)
             qv = qv / max(float(np.linalg.norm(qv)), 1e-9)
-            scores = vn @ qv
-        order = np.argsort(-scores)[:k]
-        print(json.dumps({
-            "query": name,
-            "scoring": ("chunk_set_" + args.redux) if exact else "pooled_cosine",
+            scores = self._vn @ qv
+        order = np.argsort(-scores)[: min(k, len(self.keys))]
+        return {
+            "scoring": ("chunk_set_" + self.redux) if exact else "pooled_cosine",
             "results": [
                 {
                     "rank": r + 1,
-                    "version_key": keys[i],
-                    "clique": cliques[i],
+                    "version_key": self.keys[i],
+                    "clique": self.cliques[i],
                     "score": round(float(scores[i]), 6),
                 }
                 for r, i in enumerate(order)
             ],
-        }))
+        }
+
+
+def _load_seq(path: str) -> np.ndarray:
+    with np.load(path) as d:
+        seq = d["embeddings"] if "embeddings" in d.files else d[d.files[0]]
+    return np.asarray(seq, np.float32)
+
+
+def cmd_query(args) -> int:
+    """Answer audio queries against an index file (one-shot CLI)."""
+    from wealy_tpu.cli.main import _load_config
+
+    config = _load_config(args.config)
+    queries = [(p, _load_seq(p)) for p in args.query_embeddings or []]
+    for p in args.audio or []:
+        queries.append((p, embed_query_audio(config, p)))
+    if not queries:
+        print("[query] no --audio or --query-embeddings given", file=sys.stderr)
+        return 2
+    try:
+        engine = QueryEngine(
+            config, args.index, args.checkpoint,
+            redux=args.redux, block_size=args.block_size,
+        )
+    except ValueError as e:
+        print(f"[query] {e}", file=sys.stderr)
+        return 2
+    for name, seq in queries:
+        out = engine.search(seq, k=args.k, pooled=args.pooled)
+        print(json.dumps({"query": name, **out}))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Persistent local search daemon: the model, head, and index load ONCE
+    and every query reuses the compiled path (a cold `query` invocation pays
+    model init + jit per call; the daemon pays it once).
+
+    JSON-over-HTTP on localhost (stdlib http.server — no web framework in
+    the image, and serving infra should carry zero extra deps):
+
+    - ``GET /healthz`` -> {"ok": true, "indexed": N, ...}
+    - ``POST /query`` body {"audio_path": ...} or {"embeddings": [[...]]}
+      (+ optional "k", "pooled") -> the same payload `query` prints.
+    """
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from wealy_tpu.cli.main import _load_config
+
+    config = _load_config(args.config)
+    try:
+        engine = QueryEngine(
+            config, args.index, args.checkpoint,
+            redux=args.redux, block_size=args.block_size,
+        )
+    except ValueError as e:
+        print(f"[serve] {e}", file=sys.stderr)
+        return 2
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *a):  # quiet: one line per request
+            print(f"[serve] {fmt % a}", file=sys.stderr)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._send(404, {"error": "unknown path"})
+            self._send(200, {
+                "ok": True,
+                "indexed": len(engine.keys),
+                "model": engine.meta["model"],
+                "split": engine.meta["split"],
+                "checkpoint_step": engine.checkpoint_step,
+                "exact_sets": engine.sets is not None,
+            })
+
+        def do_POST(self):
+            if self.path != "/query":
+                return self._send(404, {"error": "unknown path"})
+            try:
+                req = json.loads(
+                    self.rfile.read(int(self.headers["Content-Length"] or 0))
+                )
+                if "embeddings" in req:
+                    seq = np.asarray(req["embeddings"], np.float32)
+                    if seq.ndim != 2:
+                        raise ValueError("embeddings must be (T, C)")
+                elif "audio_path" in req:
+                    seq = embed_query_audio(engine.config, req["audio_path"])
+                else:
+                    raise ValueError("need 'audio_path' or 'embeddings'")
+                out = engine.search(
+                    seq, k=int(req.get("k", args.k)),
+                    pooled=bool(req.get("pooled", args.pooled)),
+                )
+            except Exception as e:  # noqa: BLE001 — daemon must not die
+                return self._send(400, {"error": str(e)})
+            self._send(200, out)
+
+    srv = HTTPServer((args.host, args.port), Handler)
+    print(json.dumps({
+        "serving": f"http://{args.host}:{srv.server_address[1]}",
+        "indexed": len(engine.keys),
+    }), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
     return 0

@@ -20,9 +20,11 @@ import time
 import numpy as np
 
 
-def _tpu_throughput(batch: int = 256, iters: int = 20) -> float:
-    # batch sweep (BENCH_NOTES round 2): 64: 1366, 128: 1537, 192: 1507,
-    # 256: 1589 clips/s — 256 is the measured knee
+def _tpu_throughput(batch: int = 512, iters: int = 20) -> float:
+    # batch sweep: 64: 1366, 128: 1537, 192: 1507, 256: 1589 (round 2);
+    # round 4 idle-box head-to-head: 256: 1563/1569 vs 512: 1605/1627 —
+    # 512 is consistently ~4% ahead (deeper pipelining of the 30-s mel
+    # grid against the encoder), larger batches show no further gain
     import jax
     import jax.numpy as jnp
 

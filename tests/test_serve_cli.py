@@ -96,6 +96,127 @@ def test_index_and_query_self_retrieval(serve_project, capsys):
         assert res["results"][1]["version_key"] == "401", res
 
 
+def test_two_stage_rerank(serve_project, capsys):
+    """--rerank R: pooled-cosine shortlist + exact redux on the shortlist
+    only. R >= corpus degenerates to the full exact scan (identical
+    payload); small R still self-retrieves at rank 1."""
+    from wealy_tpu.cli.serve import QueryEngine
+    from wealy_tpu.train.config import Config
+
+    tmp_path, cpath, store = serve_project
+    idx = tmp_path / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+    capsys.readouterr()
+    config = Config.from_dict(json.loads(cpath.read_text()))
+    engine = QueryEngine(config, str(idx), None)
+    with np.load(store.path("400", "hs_last_seq.npz")) as d:
+        seq = d["embeddings"]
+
+    full = engine.search(seq, k=4)
+    degenerate = engine.search(seq, k=4, rerank=99)  # >= corpus -> full scan
+    assert degenerate == full and "rerank" not in full
+
+    two = engine.search(seq, k=4, rerank=2)
+    assert two["rerank"] == 2 and two["scoring"] == "chunk_set_bpwr"
+    assert len(two["results"]) == 2  # only shortlisted songs are returned
+    assert two["results"][0]["version_key"] == "400"
+    # the exact score of the shortlist winner matches the full scan's
+    assert two["results"][0]["score"] == full["results"][0]["score"]
+
+    # CLI flag reaches the engine
+    assert main(["query", "--config", str(cpath), "--index", str(idx),
+                 "--query-embeddings", str(store.path("400", "hs_last_seq.npz")),
+                 "--rerank", "2"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rerank"] == 2
+    assert res["results"][0]["version_key"] == "400"
+
+
+def test_index_update_incremental(serve_project, capsys):
+    """`index --update` embeds only versions missing from the existing
+    index, carries the rest forward byte-identically, drops versions no
+    longer in the split, and refuses when the head changed."""
+    tmp_path, cpath, store = serve_project
+    idx = tmp_path / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+    capsys.readouterr()
+    with np.load(idx) as d:
+        before = {k: d[k].copy() for k in d.files if k != "meta"}
+
+    # grow the split by one clique (6 versions now) and update
+    rows = dict(ROWS)
+    rows["test"] = ROWS["test"] + [(6, 600, False, "o", "F"),
+                                   (6, 601, True, "c", "F")]
+    _write_csvs(tmp_path / "lc", rows)
+    rng = np.random.default_rng(7)
+    for vid in ("600", "601"):
+        store.save(vid, "hs_last_seq.npz",
+                   embeddings=rng.normal(size=(14, 24)).astype(np.float32))
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx), "--update"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["indexed"] == 6 and out["new"] == 2
+    with np.load(idx) as d:
+        keys = [str(k) for k in d["version_keys"]]
+        assert set(keys) == {"400", "401", "500", "501", "600", "601"}
+        # carried rows are byte-identical to the original build
+        for old_key, old_vec in zip(before["version_keys"], before["vecs"]):
+            np.testing.assert_array_equal(
+                d["vecs"][keys.index(str(old_key))], old_vec
+            )
+
+    # shrink the split (clique E gone) — update drops its rows, embeds none
+    rows["test"] = [r for r in rows["test"] if r[0] != 5]
+    _write_csvs(tmp_path / "lc", rows)
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx), "--update"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["indexed"] == 4 and out["new"] == 0
+    with np.load(idx) as d:
+        assert "500" not in {str(k) for k in d["version_keys"]}
+
+    # a different head (zdim) must refuse --update rather than mix vectors
+    conf = json.loads(cpath.read_text())
+    conf["model"]["zdim"] = 32
+    c2 = tmp_path / "conf2.json"
+    c2.write_text(json.dumps(conf))
+    assert main(["index", "--config", str(c2), "--split", "test",
+                 "--out", str(idx), "--update"]) == 2
+    capsys.readouterr()
+
+
+def test_resident_matches_host_scoring(serve_project, capsys):
+    """The device-resident scorer (corpus uploaded once, one lax.map
+    dispatch) returns the same ranking and scores as the host per-block
+    upload path, full-scan and two-stage alike."""
+    from wealy_tpu.cli.serve import QueryEngine
+    from wealy_tpu.train.config import Config
+
+    tmp_path, cpath, store = serve_project
+    idx = tmp_path / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+    capsys.readouterr()
+    config = Config.from_dict(json.loads(cpath.read_text()))
+    # block_size 2 < corpus 4: exercises the block/pad seams of both paths
+    res = QueryEngine(config, str(idx), None, block_size=2)
+    host = QueryEngine(config, str(idx), None, block_size=2, resident=False)
+    assert res._resident and not host._resident
+    with np.load(store.path("501", "hs_last_seq.npz")) as d:
+        seq = d["embeddings"]
+    for kw in ({}, {"rerank": 3}, {"pooled": True}):
+        a, b = res.search(seq, k=4, **kw), host.search(seq, k=4, **kw)
+        assert [r["version_key"] for r in a["results"]] == [
+            r["version_key"] for r in b["results"]
+        ], (kw, a, b)
+        np.testing.assert_allclose(
+            [r["score"] for r in a["results"]],
+            [r["score"] for r in b["results"]], atol=1e-4,
+        )
+
+
 def test_pooled_only_index(serve_project, capsys):
     tmp_path, cpath, store = serve_project
     idx = tmp_path / "serve" / "pooled.npz"

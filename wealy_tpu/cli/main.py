@@ -1293,6 +1293,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ix.add_argument("--song-group", type=int, default=64)
     ix.add_argument("--encode-slab", type=int, default=256)
+    ix.add_argument(
+        "--update", action="store_true",
+        help="incremental rebuild: carry forward already-indexed versions, "
+        "embed only new ones, drop versions no longer in the split "
+        "(refused if the checkpoint/model/schema changed)",
+    )
     ix.set_defaults(fn=cmd_index)
 
     q = sub.add_parser(
@@ -1319,6 +1325,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="corpus songs scored per redux block (bounds the transient "
         "(1, N, s1, s2) tensor)",
     )
+    q.add_argument(
+        "--rerank", type=int, default=0,
+        help="two-stage retrieval: pooled-cosine shortlist of this many "
+        "songs, exact chunk-set redux only on the shortlist (0 = exact "
+        "scan of the whole corpus)",
+    )
+    q.add_argument(
+        "--no-resident", action="store_true",
+        help="keep the corpus chunk sets in host memory and upload per "
+        "block per query, instead of the default device-resident corpus "
+        "(use when the index exceeds device memory)",
+    )
     q.set_defaults(fn=cmd_query)
 
     from wealy_tpu.cli.serve import cmd_serve
@@ -1336,6 +1354,12 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--pooled", action="store_true")
     sv.add_argument("--redux", default="bpwr")
     sv.add_argument("--block-size", type=int, default=512)
+    sv.add_argument("--rerank", type=int, default=0,
+                    help="default pooled-cosine shortlist size for exact "
+                    "scoring (per-request override via 'rerank')")
+    sv.add_argument("--no-resident", action="store_true",
+                    help="host-memory corpus (per-query block uploads) "
+                    "instead of the default device-resident corpus")
     sv.set_defaults(fn=cmd_serve)
     return p
 

@@ -83,12 +83,62 @@ def cmd_index(args) -> int:
             file=sys.stderr,
         )
         return 2
-    ds = EmbeddingDataset(config, args.split, seed=0)
+    # --update must see source-CSV changes: bypass the processed-metadata
+    # cache read (a stale cache would silently hide newly added songs)
+    ds = EmbeddingDataset(
+        config, args.split, seed=0,
+        refresh_cache=getattr(args, "update", False),
+    )
     versions = list(ds.sampler.versions)
     emb_dim = ds.load_embedding(versions[0]).shape[-1]
     L = config.data.chunk_size
     params, step = _load_head_params(config, model, args.checkpoint, L, emb_dim)
     embed = jax.jit(lambda e, m: model.apply({"params": params}, e, m))
+
+    out = Path(args.out)
+    carry = None
+    if getattr(args, "update", False) and out.exists():
+        # incremental rebuild: carry forward every already-indexed version
+        # still in the split, embed only the new ones. Rows for versions
+        # dropped from the split are dropped from the index too.
+        with np.load(out, allow_pickle=False) as old:
+            old_meta = json.loads(str(old["meta"]))
+            want = {
+                "model": config.model.name, "zdim": int(config.model.zdim),
+                "split": args.split, "emb_dim": int(emb_dim),
+                "embedding_file": ds.filename,
+                "chunk_size": L,
+                "overlap": float(config.data.overlap_percentage),
+                "has_sets": not args.no_sets,
+                "checkpoint_step": step,
+                "index_version": INDEX_VERSION,
+            }
+            stale = [k for k, v in want.items() if old_meta.get(k) != v]
+            if stale:
+                # a changed checkpoint (or model/schema) invalidates every
+                # carried vector — carrying forward would silently mix
+                # embeddings from two heads in one index
+                print(
+                    f"[index] --update refused: existing index differs on "
+                    f"{stale} (old "
+                    f"{ {k: old_meta.get(k) for k in stale} }); rebuild "
+                    "without --update", file=sys.stderr,
+                )
+                return 2
+            carry = {k: old[k] for k in old.files if k != "meta"}
+        in_split = set(versions)
+        keep = np.asarray(
+            [str(k) in in_split for k in carry["version_keys"]], bool
+        )
+        carried_keys = {str(k) for k, m in zip(carry["version_keys"], keep) if m}
+        for k in list(carry):
+            carry[k] = carry[k][keep]
+        dropped = int((~keep).sum())
+        versions = [v for v in versions if v not in carried_keys]
+        print(
+            f"[index] --update: {len(carried_keys)} carried, "
+            f"{dropped} dropped, {len(versions)} new", file=sys.stderr,
+        )
 
     keys, cliques, labels, ids = [], [], [], []
     vec_groups, set_groups, mask_groups = [], [], []
@@ -123,17 +173,31 @@ def cmd_index(args) -> int:
         if (g0 // group) % 32 == 31:
             trim_host_heap()
 
+    zdim = int(config.model.zdim)
+    if carry is not None:
+        # carried rows first (stable order for unchanged corpora), then new
+        keys = [str(k) for k in carry["version_keys"]] + keys
+        cliques = [str(c) for c in carry["cliques"]] + cliques
+        labels = carry["labels"].tolist() + labels
+        ids = carry["ids"].tolist() + ids
+        vec_groups.insert(0, carry["vecs"].reshape(-1, zdim))
+        if not args.no_sets:
+            set_groups.insert(0, carry["sets"].reshape(-1, *carry["sets"].shape[1:]))
+            mask_groups.insert(0, carry["set_mask"])
     n = len(keys)
     payload = {
         "version_keys": np.asarray(keys),
         "cliques": np.asarray(cliques),
         "labels": np.asarray(labels, np.int32),
         "ids": np.asarray(ids, np.int64),
-        "vecs": np.concatenate(vec_groups, axis=0).astype(np.float32),
+        "vecs": (
+            np.concatenate(vec_groups, axis=0).astype(np.float32)
+            if vec_groups else np.zeros((0, zdim), np.float32)
+        ),
         "meta": np.asarray(json.dumps({
             "index_version": INDEX_VERSION,
             "model": config.model.name,
-            "zdim": int(config.model.zdim),
+            "zdim": zdim,
             "split": args.split,
             "checkpoint_step": step,
             "embedding_file": ds.filename,
@@ -144,9 +208,8 @@ def cmd_index(args) -> int:
         })),
     }
     if not args.no_sets:
-        smax = max(s.shape[1] for s in set_groups)
-        C = set_groups[0].shape[-1]
-        sets = np.zeros((n, smax, C), np.float16)
+        smax = max((s.shape[1] for s in set_groups), default=0)
+        sets = np.zeros((n, smax, zdim), np.float16)
         mask = np.zeros((n, smax), bool)
         row = 0
         for s, m in zip(set_groups, mask_groups):
@@ -156,11 +219,11 @@ def cmd_index(args) -> int:
         payload["sets"] = sets
         payload["set_mask"] = mask
 
-    out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     np.savez(out, **payload)
     print(json.dumps({
         "indexed": n,
+        "new": len(keys) - (len(carry["version_keys"]) if carry else 0),
         "out": str(out),
         "zdim": int(payload["vecs"].shape[-1]),
         "sets": not args.no_sets,
@@ -218,7 +281,8 @@ class QueryEngine:
     one-shot ``query`` command and the persistent ``serve`` daemon."""
 
     def __init__(self, config, index_path: str, checkpoint: Optional[str],
-                 redux: str = "bpwr", block_size: int = 512):
+                 redux: str = "bpwr", block_size: int = 512,
+                 resident: bool = True):
         import jax
 
         from wealy_tpu.models.registry import build_model
@@ -258,9 +322,74 @@ class QueryEngine:
         self._vn = self.vecs / np.maximum(
             np.linalg.norm(self.vecs, axis=-1, keepdims=True), 1e-9
         )
+        # device-resident corpus (the TPU-native serving shape): the chunk
+        # sets live in device memory (HBM) from init on, so a query never
+        # re-uploads the corpus — exact scoring is ONE jitted dispatch that
+        # lax.map-streams block-sized slices of the resident arrays, vs the
+        # host path's per-block upload of megabytes of sets per query.
+        # Residency keeps the index's f16 storage (no precision change vs
+        # the host path); scores are computed in f32.
+        self._resident = bool(resident) and self.sets is not None
+        if self._resident:
+            import jax.numpy as jnp
 
-    def search(self, seq: np.ndarray, k: int = 10, pooled: bool = False):
-        """(T, C) whisper-level sequence -> ranked results list."""
+            blk = self.block_size
+            n, smax, _ = self.sets.shape
+            pad = (-n) % blk
+            sets, mask = self.sets, self.set_mask
+            if pad:
+                sets = np.concatenate(
+                    [sets, np.zeros((pad, *sets.shape[1:]), sets.dtype)]
+                )
+                mask = np.concatenate([mask, np.zeros((pad, smax), bool)])
+            self._sets_dev = jax.device_put(jnp.asarray(sets))
+            self._mask_dev = jax.device_put(jnp.asarray(mask))
+            self._score_dev = jax.jit(self._make_score_fn())
+            self._gather_dev = jax.jit(
+                lambda sets, mask, idx: (
+                    jnp.take(sets, idx, axis=0),
+                    jnp.take(mask, idx, axis=0),
+                )
+            )
+
+    def _make_score_fn(self):
+        """(s1, C) query set vs resident (M, s2, C) sets -> (M,) distances,
+        M a multiple of block_size. The sets/mask come in as jit ARGUMENTS
+        (a closure would inline the corpus into the compile request)."""
+        import jax
+        import jax.numpy as jnp
+
+        from wealy_tpu.eval.retrieval import song_distance_matrix_jnp
+
+        blk, redux = self.block_size, self.redux
+
+        def score(qsets, qmask, sets, mask):
+            s2, C = sets.shape[1], sets.shape[2]
+            sets = sets.reshape(-1, blk, s2, C)
+            mask = mask.reshape(-1, blk, s2)
+
+            def one(args):
+                sb, mb = args
+                return song_distance_matrix_jnp(
+                    qsets[None], qmask[None], sb.astype(jnp.float32), mb,
+                    redux=redux,
+                )[0]
+
+            return jax.lax.map(one, (sets, mask)).reshape(-1)
+
+        return score
+
+    def search(self, seq: np.ndarray, k: int = 10, pooled: bool = False,
+               rerank: int = 0):
+        """(T, C) whisper-level sequence -> ranked results list.
+
+        ``rerank > 0`` switches exact scoring to two-stage retrieval: a
+        pooled-cosine pass over the whole corpus shortlists the top
+        ``rerank`` songs, and only those pay the chunk-set redux re-score.
+        Exact-scan cost is O(corpus * s1 * s2); two-stage is O(corpus)
+        cosine + O(rerank * s1 * s2) redux — the production shape for
+        large corpora. ``rerank >= corpus`` degenerates to the full scan.
+        """
         from wealy_tpu.data.chunking import collate_overlapping
         from wealy_tpu.eval.retrieval import (
             regroup_chunks,
@@ -278,27 +407,79 @@ class QueryEngine:
         qsets, qmask, _, _ = regroup_chunks(
             z, batch.chunk_info, batch.chunk_valid
         )
+        # pad the query chunk count so a long-running daemon compiles a
+        # handful of s1 shapes instead of one per distinct song length
+        # (padding rows are mask-excluded everywhere downstream)
+        s1 = qsets.shape[1]
+        s1p = -(-s1 // _QUERY_PAD) * _QUERY_PAD
+        if s1p != s1:
+            qsets = np.concatenate(
+                [qsets, np.zeros((1, s1p - s1, qsets.shape[2]), qsets.dtype)],
+                axis=1,
+            )
+            qmask = np.concatenate(
+                [qmask, np.zeros((1, s1p - s1), bool)], axis=1
+            )
+        # pooled query vector: the cosine ranking itself in pooled mode,
+        # the stage-1 shortlist signal in two-stage exact mode
+        w = qmask[0][:, None].astype(np.float32)
+        qv = (qsets[0] * w).sum(axis=0) / np.maximum(w.sum(), 1e-9)
+        qv = qv / max(float(np.linalg.norm(qv)), 1e-9)
+        cos = self._vn @ qv
+        n = len(self.keys)
         if exact:
-            # exact chunk-set redux scoring, corpus streamed in blocks so
-            # the (1, N, s1, s2) redux tensor stays bounded
+            # exact chunk-set redux scoring, candidates streamed in blocks
+            # so the (1, N, s1, s2) redux tensor stays bounded
+            two_stage = 0 < rerank < n
+            if two_stage:
+                cand = np.argpartition(-cos, rerank - 1)[:rerank]
+                cand.sort()  # ascending index order: contiguous set reads
+            else:
+                cand = np.arange(n)
             blk = self.block_size
-            d = np.concatenate([
-                song_distance_matrix(
-                    qsets, qmask,
-                    self.sets[b : b + blk].astype(np.float32),
-                    self.set_mask[b : b + blk],
-                    redux=self.redux,
-                )[0]
-                for b in range(0, len(self.keys), blk)
-            ])
-            scores = -d
+            if self._resident:
+                import jax.numpy as jnp
+
+                q, qm = qsets[0].astype(np.float32), qmask[0]
+                if two_stage:
+                    # on-device gather of the shortlist (padded to a block
+                    # multiple with row 0; the duplicate scores land past
+                    # len(cand) and are sliced away)
+                    idx = np.concatenate(
+                        [cand, np.zeros((-len(cand)) % blk, cand.dtype)]
+                    )
+                    sets_c, mask_c = self._gather_dev(
+                        self._sets_dev, self._mask_dev, jnp.asarray(idx)
+                    )
+                    d = np.asarray(
+                        self._score_dev(q, qm, sets_c, mask_c)
+                    )[: len(cand)]
+                else:
+                    d = np.asarray(
+                        self._score_dev(
+                            q, qm, self._sets_dev, self._mask_dev
+                        )
+                    )[:n]
+            else:
+                d = np.concatenate([
+                    song_distance_matrix(
+                        qsets, qmask,
+                        self.sets[cand[b : b + blk]].astype(np.float32),
+                        self.set_mask[cand[b : b + blk]],
+                        redux=self.redux,
+                    )[0]
+                    for b in range(0, len(cand), blk)
+                ])
+            cand_scores = -d
+            top = np.argsort(-cand_scores)[: min(k, len(cand))]
+            order = cand[top]
+            scores = np.empty(n, np.float32)
+            scores[cand] = cand_scores
         else:
-            w = qmask[0][:, None].astype(np.float32)
-            qv = (qsets[0] * w).sum(axis=0) / np.maximum(w.sum(), 1e-9)
-            qv = qv / max(float(np.linalg.norm(qv)), 1e-9)
-            scores = self._vn @ qv
-        order = np.argsort(-scores)[: min(k, len(self.keys))]
-        return {
+            two_stage = False
+            scores = cos
+            order = np.argsort(-scores)[: min(k, n)]
+        out = {
             "scoring": ("chunk_set_" + self.redux) if exact else "pooled_cosine",
             "results": [
                 {
@@ -310,6 +491,9 @@ class QueryEngine:
                 for r, i in enumerate(order)
             ],
         }
+        if two_stage:
+            out["rerank"] = int(rerank)
+        return out
 
 
 def _load_seq(path: str) -> np.ndarray:
@@ -333,12 +517,14 @@ def cmd_query(args) -> int:
         engine = QueryEngine(
             config, args.index, args.checkpoint,
             redux=args.redux, block_size=args.block_size,
+            resident=not args.no_resident,
         )
     except ValueError as e:
         print(f"[query] {e}", file=sys.stderr)
         return 2
     for name, seq in queries:
-        out = engine.search(seq, k=args.k, pooled=args.pooled)
+        out = engine.search(seq, k=args.k, pooled=args.pooled,
+                            rerank=args.rerank)
         print(json.dumps({"query": name, **out}))
     return 0
 
@@ -364,6 +550,7 @@ def cmd_serve(args) -> int:
         engine = QueryEngine(
             config, args.index, args.checkpoint,
             redux=args.redux, block_size=args.block_size,
+            resident=not args.no_resident,
         )
     except ValueError as e:
         print(f"[serve] {e}", file=sys.stderr)
@@ -411,6 +598,7 @@ def cmd_serve(args) -> int:
                 out = engine.search(
                     seq, k=int(req.get("k", args.k)),
                     pooled=bool(req.get("pooled", args.pooled)),
+                    rerank=int(req.get("rerank", args.rerank)),
                 )
             except Exception as e:  # noqa: BLE001 — daemon must not die
                 return self._send(400, {"error": str(e)})

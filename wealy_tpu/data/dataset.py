@@ -88,6 +88,7 @@ def build_clean_dataset(
     verbose: bool = False,
     store: Optional[EmbeddingStore] = None,
     log: Callable[[str], None] = print,
+    refresh_cache: bool = False,
 ) -> tuple[Metadata, Dict[str, int]]:
     """The full metadata pipeline. Returns (metadata, global clique2id).
 
@@ -95,9 +96,13 @@ def build_clean_dataset(
     [audio filter] -> single-version filter -> overlap filter -> [debug
     embedding filter] -> prune info -> deterministic IDs -> embedding
     verification (gates the processed-cache write) -> global clique mapping.
+
+    ``refresh_cache`` skips the processed-cache READ (the write still
+    happens): callers that must see source-CSV changes — incremental index
+    updates — use it to avoid serving a stale corpus.
     """
     cache_path = processed_cache_path(config, debug)
-    if cache_path and cache_path.exists():
+    if cache_path and cache_path.exists() and not refresh_cache:
         payload = json.loads(cache_path.read_text())
         md = Metadata(
             dataset_name=payload["dataset_name"],
@@ -184,6 +189,7 @@ class EmbeddingDataset:
         verbose: bool = False,
         seed: int = 0,
         store: Optional[EmbeddingStore] = None,
+        refresh_cache: bool = False,
     ):
         assert split in SPLITS
         self.config = config
@@ -222,7 +228,8 @@ class EmbeddingDataset:
                 else:
                     self.packed = packed
         self.metadata, self.clique2id = build_clean_dataset(
-            config, debug=debug, check_audio=check_audio, verbose=verbose, store=self.store
+            config, debug=debug, check_audio=check_audio, verbose=verbose,
+            store=self.store, refresh_cache=refresh_cache,
         )
         if limit_cliques is not None:
             keep = list(self.metadata.splits[split].keys())[:limit_cliques]

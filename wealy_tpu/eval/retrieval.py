@@ -154,6 +154,30 @@ def regroup_chunks(
     return sets, mask, batch_idx, version_idx
 
 
+def song_distance_matrix_jnp(
+    query_sets,
+    query_mask,
+    cand_sets,
+    cand_mask,
+    mode: str = "cos",
+    redux: str = "bpwr",
+    key=None,
+):
+    """jnp-pure core of :func:`song_distance_matrix` — safe to call under
+    jit / lax.map (the serving engine's device-resident scorer does)."""
+    Q, s1, C = query_sets.shape
+    N, s2, _ = cand_sets.shape
+    qs = jnp.asarray(query_sets).reshape(Q * s1, C)
+    cs = jnp.asarray(cand_sets).reshape(N * s2, C)
+    d = pairwise_distance_matrix(qs, cs, mode=mode)  # (Q*s1, N*s2)
+    d = d.reshape(Q, s1, N, s2).transpose(0, 2, 1, 3)  # (Q, N, s1, s2)
+    # exclusion mask (ops convention True=excluded): invalid query or cand chunk
+    qm = ~jnp.asarray(query_mask)[:, None, :, None]  # (Q, 1, s1, 1)
+    cm = ~jnp.asarray(cand_mask)[None, :, None, :]  # (1, N, 1, s2)
+    excl = jnp.broadcast_to(qm | cm, d.shape)
+    return distance_tensor_redux(d, redux, mask=excl, key=key)
+
+
 def song_distance_matrix(
     query_sets: np.ndarray,
     query_mask: np.ndarray,
@@ -170,17 +194,12 @@ def song_distance_matrix(
     tensor is then reduced with ``distance_tensor_redux`` under a mask marking
     invalid (padding) chunk pairs as excluded.
     """
-    Q, s1, C = query_sets.shape
-    N, s2, _ = cand_sets.shape
-    qs = jnp.asarray(query_sets).reshape(Q * s1, C)
-    cs = jnp.asarray(cand_sets).reshape(N * s2, C)
-    d = pairwise_distance_matrix(qs, cs, mode=mode)  # (Q*s1, N*s2)
-    d = d.reshape(Q, s1, N, s2).transpose(0, 2, 1, 3)  # (Q, N, s1, s2)
-    # exclusion mask (ops convention True=excluded): invalid query or cand chunk
-    qm = jnp.asarray(~query_mask)[:, None, :, None]  # (Q, 1, s1, 1)
-    cm = jnp.asarray(~cand_mask)[None, :, None, :]  # (1, N, 1, s2)
-    excl = jnp.broadcast_to(qm | cm, d.shape)
-    return np.asarray(distance_tensor_redux(d, redux, mask=excl, key=key))
+    return np.asarray(
+        song_distance_matrix_jnp(
+            query_sets, query_mask, cand_sets, cand_mask,
+            mode=mode, redux=redux, key=key,
+        )
+    )
 
 
 def evaluate_retrieval(

@@ -217,6 +217,42 @@ def test_resident_matches_host_scoring(serve_project, capsys):
         )
 
 
+def test_sharded_resident_corpus(serve_project, capsys):
+    """mesh= shards the resident corpus row-wise over the 8-device virtual
+    mesh (shard_map scoring, data-sharded distances); results must match
+    the single-device engine exactly — full scan, two-stage (routed through
+    the host shortlist path), and pooled."""
+    import jax
+
+    from wealy_tpu.cli.serve import QueryEngine
+    from wealy_tpu.parallel.mesh import make_mesh
+    from wealy_tpu.train.config import Config
+
+    tmp_path, cpath, store = serve_project
+    idx = tmp_path / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+    capsys.readouterr()
+    config = Config.from_dict(json.loads(cpath.read_text()))
+    mesh = make_mesh(devices=jax.devices())
+    assert mesh.devices.size == 8
+    # corpus 4 < blk*ndev = 16: every shard is padding except the first —
+    # the hardest row-padding seam
+    sharded = QueryEngine(config, str(idx), None, block_size=2, mesh=mesh)
+    single = QueryEngine(config, str(idx), None, block_size=2)
+    with np.load(store.path("500", "hs_last_seq.npz")) as d:
+        seq = d["embeddings"]
+    for kw in ({}, {"rerank": 3}, {"pooled": True}):
+        a, b = sharded.search(seq, k=4, **kw), single.search(seq, k=4, **kw)
+        assert [r["version_key"] for r in a["results"]] == [
+            r["version_key"] for r in b["results"]
+        ], (kw, a, b)
+        np.testing.assert_allclose(
+            [r["score"] for r in a["results"]],
+            [r["score"] for r in b["results"]], atol=1e-4,
+        )
+
+
 def test_pooled_only_index(serve_project, capsys):
     tmp_path, cpath, store = serve_project
     idx = tmp_path / "serve" / "pooled.npz"

@@ -1337,6 +1337,11 @@ def build_parser() -> argparse.ArgumentParser:
         "block per query, instead of the default device-resident corpus "
         "(use when the index exceeds device memory)",
     )
+    q.add_argument(
+        "--shard", action="store_true",
+        help="shard the resident corpus row-wise across all local devices "
+        "(shard_map scoring; corpus HBM capacity scales with device count)",
+    )
     q.set_defaults(fn=cmd_query)
 
     from wealy_tpu.cli.serve import cmd_serve
@@ -1360,6 +1365,8 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--no-resident", action="store_true",
                     help="host-memory corpus (per-query block uploads) "
                     "instead of the default device-resident corpus")
+    sv.add_argument("--shard", action="store_true",
+                    help="shard the resident corpus across all local devices")
     sv.set_defaults(fn=cmd_serve)
     return p
 

@@ -282,7 +282,7 @@ class QueryEngine:
 
     def __init__(self, config, index_path: str, checkpoint: Optional[str],
                  redux: str = "bpwr", block_size: int = 512,
-                 resident: bool = True):
+                 resident: bool = True, mesh=None):
         import jax
 
         from wealy_tpu.models.registry import build_model
@@ -330,21 +330,45 @@ class QueryEngine:
         # Residency keeps the index's f16 storage (no precision change vs
         # the host path); scores are computed in f32.
         self._resident = bool(resident) and self.sets is not None
+        self._mesh = mesh
         if self._resident:
             import jax.numpy as jnp
 
             blk = self.block_size
             n, smax, _ = self.sets.shape
-            pad = (-n) % blk
+            # multi-chip: shard the resident corpus row-wise over the
+            # mesh's data axis (each chip holds N/ndev songs in its own
+            # HBM — corpus capacity scales with the pod) and score with
+            # shard_map: every device lax.maps over its local blocks, the
+            # (N,) distance vector comes back data-sharded. Queries are
+            # replicated (tiny). Row padding to blk*ndev keeps each
+            # shard's block count static.
+            ndev = int(mesh.devices.size) if mesh is not None else 1
+            pad = (-n) % (blk * ndev)
             sets, mask = self.sets, self.set_mask
             if pad:
                 sets = np.concatenate(
                     [sets, np.zeros((pad, *sets.shape[1:]), sets.dtype)]
                 )
                 mask = np.concatenate([mask, np.zeros((pad, smax), bool)])
-            self._sets_dev = jax.device_put(jnp.asarray(sets))
-            self._mask_dev = jax.device_put(jnp.asarray(mask))
-            self._score_dev = jax.jit(self._make_score_fn())
+            score = self._make_score_fn()
+            if mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                from wealy_tpu.parallel.mesh import data_sharding
+
+                self._sets_dev = jax.device_put(sets, data_sharding(mesh, 3))
+                self._mask_dev = jax.device_put(mask, data_sharding(mesh, 2))
+                score = shard_map(
+                    score, mesh=mesh,
+                    in_specs=(P(), P(), P("data"), P("data")),
+                    out_specs=P("data"),
+                )
+            else:
+                self._sets_dev = jax.device_put(jnp.asarray(sets))
+                self._mask_dev = jax.device_put(jnp.asarray(mask))
+            self._score_dev = jax.jit(score)
             self._gather_dev = jax.jit(
                 lambda sets, mask, idx: (
                     jnp.take(sets, idx, axis=0),
@@ -437,7 +461,10 @@ class QueryEngine:
             else:
                 cand = np.arange(n)
             blk = self.block_size
-            if self._resident:
+            # sharded-corpus two-stage goes through the host path below: the
+            # shortlist is tiny (R rows uploaded once) and a cross-shard
+            # device gather would cost a collective per query
+            if self._resident and not (two_stage and self._mesh is not None):
                 import jax.numpy as jnp
 
                 q, qm = qsets[0].astype(np.float32), qmask[0]
@@ -496,6 +523,20 @@ class QueryEngine:
         return out
 
 
+def _serving_mesh(args):
+    """Host-local data mesh for ``--shard`` (None on a single device)."""
+    if not getattr(args, "shard", False):
+        return None
+    import jax
+
+    local = jax.local_devices()
+    if len(local) < 2:
+        return None
+    from wealy_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(devices=local)
+
+
 def _load_seq(path: str) -> np.ndarray:
     with np.load(path) as d:
         seq = d["embeddings"] if "embeddings" in d.files else d[d.files[0]]
@@ -517,7 +558,7 @@ def cmd_query(args) -> int:
         engine = QueryEngine(
             config, args.index, args.checkpoint,
             redux=args.redux, block_size=args.block_size,
-            resident=not args.no_resident,
+            resident=not args.no_resident, mesh=_serving_mesh(args),
         )
     except ValueError as e:
         print(f"[query] {e}", file=sys.stderr)
@@ -550,7 +591,7 @@ def cmd_serve(args) -> int:
         engine = QueryEngine(
             config, args.index, args.checkpoint,
             redux=args.redux, block_size=args.block_size,
-            resident=not args.no_resident,
+            resident=not args.no_resident, mesh=_serving_mesh(args),
         )
     except ValueError as e:
         print(f"[serve] {e}", file=sys.stderr)

@@ -87,6 +87,29 @@ def main(sizes=(1000, 10000, 50000), zdim=512):
                     "warm_ms_median": round(1e3 * sorted(ts)[len(ts) // 2], 1),
                     "warm_ms_best": round(1e3 * min(ts), 1),
                 }), flush=True)
+            # batched-query throughput: 16 queries per search_many dispatch
+            # vs 16 sequential single-query searches (exact resident scan)
+            seqs = [rng.normal(size=(16, 24)).astype(np.float32)
+                    for _ in range(16)]
+            engine.search_many(seqs, k=10)  # warm/compile
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                engine.search_many(seqs, k=10)
+                ts.append(time.perf_counter() - t0)
+            t_seq = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for s in seqs:
+                    engine.search(s, k=10)
+                t_seq.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "corpus": n, "zdim": zdim,
+                "scoring": "exact_resident_full_scan",
+                "batch": len(seqs),
+                "batched_qps": round(len(seqs) / min(ts), 1),
+                "sequential_qps": round(len(seqs) / min(t_seq), 1),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -253,6 +253,42 @@ def test_sharded_resident_corpus(serve_project, capsys):
         )
 
 
+def test_search_many_matches_single(serve_project, capsys):
+    """One batched dispatch over Q=3 queries (padded to 4) returns the same
+    payloads as three single-query searches, in every scoring mode."""
+    from wealy_tpu.cli.serve import QueryEngine
+    from wealy_tpu.train.config import Config
+
+    tmp_path, cpath, store = serve_project
+    idx = tmp_path / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+    capsys.readouterr()
+    config = Config.from_dict(json.loads(cpath.read_text()))
+    engine = QueryEngine(config, str(idx), None, block_size=2)
+    seqs = []
+    for vid in ("400", "501", "401"):
+        with np.load(store.path(vid, "hs_last_seq.npz")) as d:
+            seqs.append(d["embeddings"])
+    for kw in ({}, {"rerank": 2}, {"pooled": True}):
+        many = engine.search_many(seqs, k=4, **kw)
+        assert len(many) == 3
+        for seq, got in zip(seqs, many):
+            one = engine.search(seq, k=4, **kw)
+            assert [r["version_key"] for r in got["results"]] == [
+                r["version_key"] for r in one["results"]
+            ], (kw, got, one)
+            np.testing.assert_allclose(
+                [r["score"] for r in got["results"]],
+                [r["score"] for r in one["results"]], atol=1e-4,
+            )
+    # self-retrieval sanity on the batch itself
+    full = engine.search_many(seqs, k=1)
+    assert [o["results"][0]["version_key"] for o in full] == [
+        "400", "501", "401"
+    ]
+
+
 def test_pooled_only_index(serve_project, capsys):
     tmp_path, cpath, store = serve_project
     idx = tmp_path / "serve" / "pooled.npz"
@@ -330,6 +366,22 @@ def test_serve_daemon(serve_project, tmp_path):
         warm = time.perf_counter() - t0
         assert res2 == res
         assert warm <= cold + 1.0  # no recompile on the warm path
+
+        # batch request: one device dispatch, per-entry payloads in order
+        with np.load(store.path("501", "hs_last_seq.npz")) as d:
+            seq2 = d["embeddings"].tolist()
+        breq = urllib.request.Request(
+            f"{url}/query",
+            data=json.dumps(
+                {"batch": [{"embeddings": seq}, {"embeddings": seq2}],
+                 "k": 1}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        bres = json.loads(urllib.request.urlopen(breq, timeout=120).read())
+        assert [o["results"][0]["version_key"] for o in bres["batch"]] == [
+            "400", "501"
+        ], bres
 
         # malformed request: daemon answers 400 and stays alive
         bad = urllib.request.Request(f"{url}/query", data=b"{}")

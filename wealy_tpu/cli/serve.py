@@ -232,10 +232,12 @@ def cmd_index(args) -> int:
     return 0
 
 
-def embed_query_audio(config, audio_path: str) -> np.ndarray:
-    """Raw audio -> the (T, C) whisper-level embedding sequence the
-    config's embedding kind stores per version (so a query enters the head
-    exactly like an indexed song's file does).
+def make_query_embed_fn(config):
+    """Build once: raw-audio-path -> the (T, C) whisper-level embedding
+    sequence the config's embedding kind stores per version (so a query
+    enters the head exactly like an indexed song's file does). The Whisper
+    model init + jit happens here, NOT per call — the daemon embeds every
+    audio query through the same compiled fn.
 
     Supported kinds: ``x_concat`` (mean-pooled encoder per 30 s chunk —
     reference (encoder, concat), base_dataset.py:99-126) and
@@ -264,16 +266,25 @@ def embed_query_audio(config, audio_path: str) -> np.ndarray:
             "(decoder kinds need a transcription pass); pass "
             "--query-embeddings with a precomputed (T, C) .npz"
         )
-    chunks = chunk_waveform(load_audio(audio_path))
-    n = chunks.shape[0]
-    pad = -(-n // _QUERY_PAD) * _QUERY_PAD
-    if pad != n:
-        chunks = np.concatenate(
-            [chunks, np.zeros((pad - n, chunks.shape[1]), np.float32)]
-        )
-    # bf16 device output -> f32 (the store's on-disk convention; ml_dtypes
-    # bfloat16 does not round-trip through .npz)
-    return np.asarray(embed_fn(chunks))[:n].astype(np.float32)
+
+    def run(audio_path: str) -> np.ndarray:
+        chunks = chunk_waveform(load_audio(audio_path))
+        n = chunks.shape[0]
+        pad = -(-n // _QUERY_PAD) * _QUERY_PAD
+        if pad != n:
+            chunks = np.concatenate(
+                [chunks, np.zeros((pad - n, chunks.shape[1]), np.float32)]
+            )
+        # bf16 device output -> f32 (the store's on-disk convention;
+        # ml_dtypes bfloat16 does not round-trip through .npz)
+        return np.asarray(embed_fn(chunks))[:n].astype(np.float32)
+
+    return run
+
+
+def embed_query_audio(config, audio_path: str) -> np.ndarray:
+    """One-shot convenience wrapper over :func:`make_query_embed_fn`."""
+    return make_query_embed_fn(config)(audio_path)
 
 
 class QueryEngine:
@@ -322,6 +333,7 @@ class QueryEngine:
         self._vn = self.vecs / np.maximum(
             np.linalg.norm(self.vecs, axis=-1, keepdims=True), 1e-9
         )
+        self._audio_fn = None  # built on first audio query, then reused
         # device-resident corpus (the TPU-native serving shape): the chunk
         # sets live in device memory (HBM) from init on, so a query never
         # re-uploads the corpus — exact scoring is ONE jitted dispatch that
@@ -363,23 +375,34 @@ class QueryEngine:
                 score = shard_map(
                     score, mesh=mesh,
                     in_specs=(P(), P(), P("data"), P("data")),
-                    out_specs=P("data"),
+                    out_specs=P(None, "data"),
                 )
             else:
                 self._sets_dev = jax.device_put(jnp.asarray(sets))
                 self._mask_dev = jax.device_put(jnp.asarray(mask))
             self._score_dev = jax.jit(score)
-            self._gather_dev = jax.jit(
-                lambda sets, mask, idx: (
-                    jnp.take(sets, idx, axis=0),
-                    jnp.take(mask, idx, axis=0),
-                )
+
+            # two-stage rescoring: per-query on-device gather of its own
+            # shortlist, vmapped so the whole batch is one dispatch
+            def _rerank_one(q, qm, idx, sets, mask):
+                s = jnp.take(sets, idx, axis=0).astype(jnp.float32)
+                m = jnp.take(mask, idx, axis=0)
+                from wealy_tpu.eval.retrieval import song_distance_matrix_jnp
+
+                return song_distance_matrix_jnp(
+                    q[None], qm[None], s, m, redux=self.redux
+                )[0]
+
+            self._rerank_dev = jax.jit(
+                jax.vmap(_rerank_one, in_axes=(0, 0, 0, None, None))
             )
 
     def _make_score_fn(self):
-        """(s1, C) query set vs resident (M, s2, C) sets -> (M,) distances,
-        M a multiple of block_size. The sets/mask come in as jit ARGUMENTS
-        (a closure would inline the corpus into the compile request)."""
+        """(Q, s1, C) query sets vs resident (M, s2, C) sets -> (Q, M)
+        distances, M a multiple of block_size — every query in the batch
+        rides the same flattened (Q*s1, blk*s2) MXU matmul per block. The
+        sets/mask come in as jit ARGUMENTS (a closure would inline the
+        corpus into the compile request)."""
         import jax
         import jax.numpy as jnp
 
@@ -395,17 +418,24 @@ class QueryEngine:
             def one(args):
                 sb, mb = args
                 return song_distance_matrix_jnp(
-                    qsets[None], qmask[None], sb.astype(jnp.float32), mb,
-                    redux=redux,
-                )[0]
+                    qsets, qmask, sb.astype(jnp.float32), mb, redux=redux,
+                )  # (Q, blk)
 
-            return jax.lax.map(one, (sets, mask)).reshape(-1)
+            d = jax.lax.map(one, (sets, mask))  # (nb, Q, blk)
+            return jnp.moveaxis(d, 0, 1).reshape(qsets.shape[0], -1)
 
         return score
 
+    def embed_audio(self, audio_path: str) -> np.ndarray:
+        """Raw audio -> query sequence through a cached compiled embed fn
+        (first call builds + jits the Whisper path, later calls reuse it)."""
+        if self._audio_fn is None:
+            self._audio_fn = make_query_embed_fn(self.config)
+        return self._audio_fn(audio_path)
+
     def search(self, seq: np.ndarray, k: int = 10, pooled: bool = False,
                rerank: int = 0):
-        """(T, C) whisper-level sequence -> ranked results list.
+        """(T, C) whisper-level sequence -> ranked results payload.
 
         ``rerank > 0`` switches exact scoring to two-stage retrieval: a
         pooled-cosine pass over the whole corpus shortlists the top
@@ -414,6 +444,18 @@ class QueryEngine:
         cosine + O(rerank * s1 * s2) redux — the production shape for
         large corpora. ``rerank >= corpus`` degenerates to the full scan.
         """
+        return self.search_many([seq], k=k, pooled=pooled, rerank=rerank)[0]
+
+    def search_many(self, seqs, k: int = 10, pooled: bool = False,
+                    rerank: int = 0):
+        """Batch of (T, C) sequences -> one ranked-results payload per
+        query. The whole batch scores in ONE device dispatch — the Q query
+        chunk sets join the same flattened (Q*s1, blk*s2) MXU matmul the
+        single-query path uses, so per-dispatch overhead (and tunnel RTT)
+        amortizes across the batch. Q is padded to a multiple of 4 with
+        mask-excluded dummy queries to bound jit-shape churn."""
+        import jax.numpy as jnp
+
         from wealy_tpu.data.chunking import collate_overlapping
         from wealy_tpu.eval.retrieval import (
             regroup_chunks,
@@ -422,105 +464,114 @@ class QueryEngine:
         )
 
         exact = self.sets is not None and not pooled
+        Q = len(seqs)
+        if Q == 0:
+            return []
         batch = collate_overlapping(
-            [(0, [(0, np.asarray(seq, np.float32))])],
+            [(i, [(i, np.asarray(s, np.float32))]) for i, s in enumerate(seqs)],
             chunk_size=self.L, overlap=self.meta["overlap"],
         )
         z = slabbed_apply(self._embed, batch.embeddings, batch.masks,
                           slab_size=64)
-        qsets, qmask, _, _ = regroup_chunks(
+        qsets, qmask, bidx, _ = regroup_chunks(
             z, batch.chunk_info, batch.chunk_valid
         )
+        order_in = np.argsort(bidx)  # restore input order explicitly
+        qsets, qmask = qsets[order_in], qmask[order_in]
         # pad the query chunk count so a long-running daemon compiles a
-        # handful of s1 shapes instead of one per distinct song length
-        # (padding rows are mask-excluded everywhere downstream)
+        # handful of (Q, s1) shapes instead of one per distinct song length
+        # (padding rows/queries are mask-excluded everywhere downstream)
         s1 = qsets.shape[1]
         s1p = -(-s1 // _QUERY_PAD) * _QUERY_PAD
-        if s1p != s1:
-            qsets = np.concatenate(
-                [qsets, np.zeros((1, s1p - s1, qsets.shape[2]), qsets.dtype)],
-                axis=1,
-            )
-            qmask = np.concatenate(
-                [qmask, np.zeros((1, s1p - s1), bool)], axis=1
-            )
-        # pooled query vector: the cosine ranking itself in pooled mode,
+        # Q=1 (the common single-query case) stays unpadded — it should not
+        # pay 4x redux work; batches pad to multiples of 4
+        Qp = 1 if Q == 1 else -(-Q // 4) * 4
+        if s1p != s1 or Qp != Q:
+            qsets = np.pad(qsets, ((0, Qp - Q), (0, s1p - s1), (0, 0)))
+            qmask = np.pad(qmask, ((0, Qp - Q), (0, s1p - s1)))
+        # pooled query vectors: the cosine ranking itself in pooled mode,
         # the stage-1 shortlist signal in two-stage exact mode
-        w = qmask[0][:, None].astype(np.float32)
-        qv = (qsets[0] * w).sum(axis=0) / np.maximum(w.sum(), 1e-9)
-        qv = qv / max(float(np.linalg.norm(qv)), 1e-9)
-        cos = self._vn @ qv
+        w = qmask[..., None].astype(np.float32)
+        qv = (qsets * w).sum(axis=1) / np.maximum(w.sum(axis=1), 1e-9)
+        qv = qv / np.maximum(
+            np.linalg.norm(qv, axis=-1, keepdims=True), 1e-9
+        )
+        cos = qv @ self._vn.T  # (Qp, n)
         n = len(self.keys)
         if exact:
-            # exact chunk-set redux scoring, candidates streamed in blocks
-            # so the (1, N, s1, s2) redux tensor stays bounded
             two_stage = 0 < rerank < n
-            if two_stage:
-                cand = np.argpartition(-cos, rerank - 1)[:rerank]
-                cand.sort()  # ascending index order: contiguous set reads
-            else:
-                cand = np.arange(n)
             blk = self.block_size
-            # sharded-corpus two-stage goes through the host path below: the
-            # shortlist is tiny (R rows uploaded once) and a cross-shard
-            # device gather would cost a collective per query
-            if self._resident and not (two_stage and self._mesh is not None):
-                import jax.numpy as jnp
-
-                q, qm = qsets[0].astype(np.float32), qmask[0]
-                if two_stage:
-                    # on-device gather of the shortlist (padded to a block
-                    # multiple with row 0; the duplicate scores land past
-                    # len(cand) and are sliced away)
-                    idx = np.concatenate(
-                        [cand, np.zeros((-len(cand)) % blk, cand.dtype)]
-                    )
-                    sets_c, mask_c = self._gather_dev(
-                        self._sets_dev, self._mask_dev, jnp.asarray(idx)
-                    )
-                    d = np.asarray(
-                        self._score_dev(q, qm, sets_c, mask_c)
-                    )[: len(cand)]
+            q32 = qsets.astype(np.float32)
+            if two_stage:
+                cand = np.argpartition(-cos, rerank - 1, axis=1)[:, :rerank]
+                cand.sort(axis=1)  # ascending: contiguous gather reads
+                if self._resident and self._mesh is None:
+                    # per-query on-device gather + rescore, one dispatch
+                    d = np.asarray(self._rerank_dev(
+                        q32, qmask, jnp.asarray(cand),
+                        self._sets_dev, self._mask_dev,
+                    ))
                 else:
-                    d = np.asarray(
-                        self._score_dev(
-                            q, qm, self._sets_dev, self._mask_dev
-                        )
-                    )[:n]
+                    # sharded corpus (a device gather would collective per
+                    # query) or host mode: upload each tiny shortlist
+                    d = np.stack([
+                        song_distance_matrix(
+                            q32[i : i + 1], qmask[i : i + 1],
+                            self.sets[cand[i]].astype(np.float32),
+                            self.set_mask[cand[i]],
+                            redux=self.redux,
+                        )[0]
+                        for i in range(Q)
+                    ] + [np.zeros(cand.shape[1], np.float32)] * (Qp - Q))
+            elif self._resident:
+                # exact full scan over the resident corpus: one dispatch,
+                # lax.map streams block slices device-side
+                d = np.asarray(self._score_dev(
+                    q32, qmask, self._sets_dev, self._mask_dev
+                ))[:, :n]
             else:
+                # host fallback: corpus streamed in blocks so the
+                # (Q, blk, s1, s2) redux tensor stays bounded
                 d = np.concatenate([
                     song_distance_matrix(
-                        qsets, qmask,
-                        self.sets[cand[b : b + blk]].astype(np.float32),
-                        self.set_mask[cand[b : b + blk]],
+                        q32, qmask,
+                        self.sets[b : b + blk].astype(np.float32),
+                        self.set_mask[b : b + blk],
                         redux=self.redux,
-                    )[0]
-                    for b in range(0, len(cand), blk)
-                ])
-            cand_scores = -d
-            top = np.argsort(-cand_scores)[: min(k, len(cand))]
-            order = cand[top]
-            scores = np.empty(n, np.float32)
-            scores[cand] = cand_scores
+                    )
+                    for b in range(0, n, blk)
+                ], axis=1)
         else:
             two_stage = False
-            scores = cos
-            order = np.argsort(-scores)[: min(k, n)]
-        out = {
-            "scoring": ("chunk_set_" + self.redux) if exact else "pooled_cosine",
-            "results": [
-                {
-                    "rank": r + 1,
-                    "version_key": self.keys[i],
-                    "clique": self.cliques[i],
-                    "score": round(float(scores[i]), 6),
-                }
-                for r, i in enumerate(order)
-            ],
-        }
-        if two_stage:
-            out["rerank"] = int(rerank)
-        return out
+        outs = []
+        for i in range(Q):
+            if exact:
+                cand_i = cand[i] if two_stage else np.arange(n)
+                cand_scores = -d[i]
+                top = np.argsort(-cand_scores)[: min(k, len(cand_i))]
+                order = cand_i[top]
+                scores = np.empty(n, np.float32)
+                scores[cand_i] = cand_scores
+            else:
+                scores = cos[i]
+                order = np.argsort(-scores)[: min(k, n)]
+            out = {
+                "scoring": (
+                    "chunk_set_" + self.redux) if exact else "pooled_cosine",
+                "results": [
+                    {
+                        "rank": r + 1,
+                        "version_key": self.keys[j],
+                        "clique": self.cliques[j],
+                        "score": round(float(scores[j]), 6),
+                    }
+                    for r, j in enumerate(order)
+                ],
+            }
+            if two_stage:
+                out["rerank"] = int(rerank)
+            outs.append(out)
+        return outs
 
 
 def _serving_mesh(args):
@@ -549,8 +600,9 @@ def cmd_query(args) -> int:
 
     config = _load_config(args.config)
     queries = [(p, _load_seq(p)) for p in args.query_embeddings or []]
-    for p in args.audio or []:
-        queries.append((p, embed_query_audio(config, p)))
+    if args.audio:
+        embed = make_query_embed_fn(config)  # one model init for all files
+        queries.extend((p, embed(p)) for p in args.audio)
     if not queries:
         print("[query] no --audio or --query-embeddings given", file=sys.stderr)
         return 2
@@ -563,9 +615,12 @@ def cmd_query(args) -> int:
     except ValueError as e:
         print(f"[query] {e}", file=sys.stderr)
         return 2
-    for name, seq in queries:
-        out = engine.search(seq, k=args.k, pooled=args.pooled,
-                            rerank=args.rerank)
+    # all queries score in one batched device dispatch
+    outs = engine.search_many(
+        [s for _, s in queries], k=args.k, pooled=args.pooled,
+        rerank=args.rerank,
+    )
+    for (name, _), out in zip(queries, outs):
         print(json.dumps({"query": name, **out}))
     return 0
 
@@ -580,9 +635,12 @@ def cmd_serve(args) -> int:
 
     - ``GET /healthz`` -> {"ok": true, "indexed": N, ...}
     - ``POST /query`` body {"audio_path": ...} or {"embeddings": [[...]]}
-      (+ optional "k", "pooled") -> the same payload `query` prints.
+      (+ optional "k", "pooled", "rerank") -> the same payload `query`
+      prints. A {"batch": [entry, ...]} body scores every entry in one
+      batched device dispatch and answers {"batch": [payload, ...]}.
     """
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from wealy_tpu.cli.main import _load_config
 
@@ -625,27 +683,47 @@ def cmd_serve(args) -> int:
             if self.path != "/query":
                 return self._send(404, {"error": "unknown path"})
             try:
+                with search_lock:
+                    return self._answer_query()
+            except Exception as e:  # noqa: BLE001 — daemon must not die
+                return self._send(400, {"error": str(e)})
+
+        def _answer_query(self):
+            try:
                 req = json.loads(
                     self.rfile.read(int(self.headers["Content-Length"] or 0))
                 )
-                if "embeddings" in req:
-                    seq = np.asarray(req["embeddings"], np.float32)
-                    if seq.ndim != 2:
-                        raise ValueError("embeddings must be (T, C)")
-                elif "audio_path" in req:
-                    seq = embed_query_audio(engine.config, req["audio_path"])
-                else:
-                    raise ValueError("need 'audio_path' or 'embeddings'")
-                out = engine.search(
-                    seq, k=int(req.get("k", args.k)),
+                entries = req.get("batch")
+                single = entries is None
+                if single:
+                    entries = [req]
+                if not entries:
+                    raise ValueError("'batch' must be a non-empty list")
+                seqs = []
+                for e in entries:
+                    if "embeddings" in e:
+                        seq = np.asarray(e["embeddings"], np.float32)
+                        if seq.ndim != 2:
+                            raise ValueError("embeddings must be (T, C)")
+                    elif "audio_path" in e:
+                        seq = engine.embed_audio(e["audio_path"])
+                    else:
+                        raise ValueError("need 'audio_path' or 'embeddings'")
+                    seqs.append(seq)
+                outs = engine.search_many(
+                    seqs, k=int(req.get("k", args.k)),
                     pooled=bool(req.get("pooled", args.pooled)),
                     rerank=int(req.get("rerank", args.rerank)),
                 )
+                out = outs[0] if single else {"batch": outs}
             except Exception as e:  # noqa: BLE001 — daemon must not die
                 return self._send(400, {"error": str(e)})
             self._send(200, out)
 
-    srv = HTTPServer((args.host, args.port), Handler)
+    # threaded accept loop so /healthz answers while a long query runs;
+    # searches themselves serialize on one lock (one device, one jit state)
+    search_lock = threading.Lock()
+    srv = ThreadingHTTPServer((args.host, args.port), Handler)
     print(json.dumps({
         "serving": f"http://{args.host}:{srv.server_address[1]}",
         "indexed": len(engine.keys),

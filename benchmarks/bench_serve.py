@@ -6,7 +6,7 @@ reported numbers are per-query wall times after one warmup, i.e. what a
 `serve` daemon answers at. Query = a 10-chunk-set song (typical 4-5 min
 track at 0.9-overlap chunking of a ~16-chunk sequence).
 
-    python benchmarks/bench_serve.py [corpus_sizes,...] [zdim]
+    python benchmarks/bench_serve.py [corpus_sizes,...] [zdim] [block_size]
 """
 import json
 import sys
@@ -44,7 +44,7 @@ def build_index(path: Path, n: int, zdim: int, smax: int = 10) -> None:
     )
 
 
-def main(sizes=(1000, 10000, 50000), zdim=512):
+def main(sizes=(1000, 10000, 50000), zdim=512, blk=512):
     from wealy_tpu.cli.serve import QueryEngine
     from wealy_tpu.train.config import Config
 
@@ -60,12 +60,16 @@ def main(sizes=(1000, 10000, 50000), zdim=512):
         for n in sizes:
             idx = Path(td) / f"idx{n}.npz"
             build_index(idx, n, zdim)
-            engine = QueryEngine(config, str(idx), None)  # device-resident
-            host = QueryEngine(config, str(idx), None, resident=False)
+            engine = QueryEngine(config, str(idx), None, block_size=blk)
+            int8 = QueryEngine(config, str(idx), None, block_size=blk,
+                               quantize="int8")
+            host = QueryEngine(config, str(idx), None, block_size=blk,
+                               resident=False)
             for label, eng, kw in (
                 ("pooled_cosine", engine, {"pooled": True}),
                 ("exact_resident_full_scan", engine, {}),
                 ("exact_resident_rerank64", engine, {"rerank": 64}),
+                ("exact_int8_full_scan", int8, {}),
                 ("exact_host_full_scan", host, {}),
                 ("exact_host_rerank64", host, {"rerank": 64}),
             ):
@@ -84,6 +88,7 @@ def main(sizes=(1000, 10000, 50000), zdim=512):
                     ts.append(time.perf_counter() - t0)
                 print(json.dumps({
                     "corpus": n, "zdim": zdim, "scoring": label,
+                    "block_size": blk,
                     "warm_ms_median": round(1e3 * sorted(ts)[len(ts) // 2], 1),
                     "warm_ms_best": round(1e3 * min(ts), 1),
                 }), flush=True)
@@ -118,4 +123,5 @@ if __name__ == "__main__":
         if len(sys.argv) > 1 else (1000, 10000, 50000)
     )
     zd = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    main(sizes, zd)
+    bs = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    main(sizes, zd, bs)

@@ -289,6 +289,54 @@ def test_search_many_matches_single(serve_project, capsys):
     ]
 
 
+def test_int8_resident_corpus(serve_project, capsys):
+    """quantize="int8" (per-chunk absmax scales, in-kernel dequant) keeps
+    the ranking of the f16 engine and its scores to ~1% — full scan,
+    two-stage, and the sharded mesh variant."""
+    import jax
+
+    from wealy_tpu.cli.serve import QueryEngine
+    from wealy_tpu.parallel.mesh import make_mesh
+    from wealy_tpu.train.config import Config
+
+    tmp_path, cpath, store = serve_project
+    idx = tmp_path / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+    capsys.readouterr()
+    config = Config.from_dict(json.loads(cpath.read_text()))
+    f16 = QueryEngine(config, str(idx), None, block_size=2)
+    int8 = QueryEngine(config, str(idx), None, block_size=2,
+                       quantize="int8")
+    assert int8._quantized and int8._sets_dev.dtype == np.int8
+    int8_mesh = QueryEngine(
+        config, str(idx), None, block_size=2, quantize="int8",
+        mesh=make_mesh(devices=jax.devices()),
+    )
+    with np.load(store.path("400", "hs_last_seq.npz")) as d:
+        seq = d["embeddings"]
+    for kw in ({}, {"rerank": 3}):
+        a = f16.search(seq, k=4, **kw)
+        sa = {r["version_key"]: r["score"] for r in a["results"]}
+        for eng in (int8, int8_mesh):
+            b = eng.search(seq, k=4, **kw)
+            sb = {r["version_key"]: r["score"] for r in b["results"]}
+            # same-clique covers can be near-ties (<1e-3 apart) that int8
+            # noise legitimately reorders; require the well-separated head
+            # of the ranking and per-song score agreement instead
+            assert [r["version_key"] for r in b["results"]][:2] == [
+                "400", "401"
+            ], (kw, b)
+            assert set(sa) == set(sb)
+            for v in sa:
+                assert abs(sa[v] - sb[v]) < 1.5e-2, (kw, v, sa, sb)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="quantize"):
+        QueryEngine(config, str(idx), None, quantize="int4")
+
+
 def test_pooled_only_index(serve_project, capsys):
     tmp_path, cpath, store = serve_project
     idx = tmp_path / "serve" / "pooled.npz"
@@ -407,6 +455,64 @@ def _write_wav(path, seconds, sr=16000, freq=440.0):
         w.setsampwidth(2)
         w.setframerate(sr)
         w.writeframes(x.tobytes())
+
+
+@pytest.mark.slow
+def test_audio_query_decoder_kind(tmp_path, capsys):
+    """Raw wav -> dev-whisper greedy transcription pass -> flattened
+    hs_last_seq decoder states -> head -> index search: the serving path
+    for the decoder-token taxonomy kinds (previously --query-embeddings
+    only). Corpus files are produced by the SAME query embed fn, so
+    self-retrieval must hit rank 1."""
+    from wealy_tpu.cli.serve import make_query_embed_fn
+    from wealy_tpu.data.embedding_store import EmbeddingStore
+    from wealy_tpu.train.config import Config
+
+    rows = {
+        "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A")],
+        "val": [(3, 300, False, "o", "C"), (3, 301, True, "c", "C")],
+        "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D")],
+    }
+    _write_csvs(tmp_path / "lc", rows)
+    conf = {
+        "path": {
+            "lyric_covers_data": str(tmp_path / "lc"),
+            "hidden_states": str(tmp_path / "hs"),
+            "cache": str(tmp_path / "cache"),
+        },
+        "data": {
+            "dataset_name": "lyric-covers",
+            "embedding_type": "last_hidden_states",
+            "embedding_format": "concat",
+            "chunk_size": 2,
+        },
+        "model": {"name": "whisper", "zdim": 8, "whisper_size": "dev"},
+    }
+    cpath = tmp_path / "conf.json"
+    cpath.write_text(json.dumps(conf))
+    config = Config.from_dict(conf)
+
+    embed = make_query_embed_fn(config)  # one model init for everything
+    store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+    wavs = {}
+    for (_, vid, *_r), freq in zip(
+        [r for d in rows.values() for r in d], [220, 260, 300, 340, 392, 440]
+    ):
+        w = tmp_path / "audio" / f"{vid}.wav"
+        _write_wav(w, seconds=31.0, freq=float(freq))
+        wavs[str(vid)] = w
+        seq = embed(str(w))
+        assert seq.ndim == 2 and seq.shape[0] >= 2  # >=1 token per chunk
+        store.save(str(vid), "hs_last_seq.npz", embeddings=seq)
+
+    idx = tmp_path / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+    capsys.readouterr()
+    assert main(["query", "--config", str(cpath), "--index", str(idx),
+                 "--audio", str(wavs["400"]), "--k", "2"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["results"][0]["version_key"] == "400", res
 
 
 def test_audio_query_end_to_end(tmp_path, capsys):

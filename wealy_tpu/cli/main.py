@@ -1342,6 +1342,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard the resident corpus row-wise across all local devices "
         "(shard_map scoring; corpus HBM capacity scales with device count)",
     )
+    q.add_argument(
+        "--quantize", choices=["int8"], default=None,
+        help="int8-quantize the resident corpus (per-chunk absmax scales, "
+        "dequantized in-kernel): 2x corpus capacity per chip HBM",
+    )
     q.set_defaults(fn=cmd_query)
 
     from wealy_tpu.cli.serve import cmd_serve
@@ -1367,6 +1372,8 @@ def build_parser() -> argparse.ArgumentParser:
                     "instead of the default device-resident corpus")
     sv.add_argument("--shard", action="store_true",
                     help="shard the resident corpus across all local devices")
+    sv.add_argument("--quantize", choices=["int8"], default=None,
+                    help="int8 resident corpus (2x HBM capacity)")
     sv.set_defaults(fn=cmd_serve)
     return p
 

@@ -240,10 +240,13 @@ def make_query_embed_fn(config):
     audio query through the same compiled fn.
 
     Supported kinds: ``x_concat`` (mean-pooled encoder per 30 s chunk —
-    reference (encoder, concat), base_dataset.py:99-126) and
-    ``hs_wealy_concat`` (WEALY 512-d projection). The decoder-token kinds
-    need a transcription pass per chunk; precompute those and pass
-    ``--query-embeddings`` instead.
+    reference (encoder, concat), base_dataset.py:99-126),
+    ``hs_wealy_concat`` (WEALY 512-d projection), and the decoder-token
+    kinds ``hs_last_seq``/``hs_last_seq_en`` (greedy transcription pass
+    per chunk, valid decoder positions flattened — the extraction
+    pipeline's own decode_fn, so a query matches the indexed files).
+    ``hs_last_all`` keeps per-chunk (max_len, D) grids the chunk-set head
+    does not consume — pass ``--query-embeddings`` there.
     """
     from wealy_tpu.audio.decode import load_audio
     from wealy_tpu.data.paths import embedding_filename
@@ -252,6 +255,7 @@ def make_query_embed_fn(config):
     kind = embedding_filename(
         config.data.embedding_type, config.data.embedding_format
     ).removesuffix(".npz")
+    post = None
     if kind == "x_concat":
         from wealy_tpu.cli.extract_batched import make_encoder_embed_fn
 
@@ -260,11 +264,18 @@ def make_query_embed_fn(config):
         from wealy_tpu.cli.extract_batched import make_wealy_embed_fn
 
         embed_fn = make_wealy_embed_fn(config)
+    elif kind in ("hs_last_seq", "hs_last_seq_en"):
+        from wealy_tpu.cli.extract_batched import make_decoder_embed_fn
+        from wealy_tpu.models.whisper.extract import flatten_decoder_sequence
+
+        embed_fn = make_decoder_embed_fn(
+            config, language=0 if kind.endswith("_en") else None
+        )
+        post = flatten_decoder_sequence
     else:
         raise ValueError(
-            f"query-time embedding is not supported for kind {kind!r} "
-            "(decoder kinds need a transcription pass); pass "
-            "--query-embeddings with a precomputed (T, C) .npz"
+            f"query-time embedding is not supported for kind {kind!r}; "
+            "pass --query-embeddings with a precomputed (T, C) .npz"
         )
 
     def run(audio_path: str) -> np.ndarray:
@@ -277,6 +288,11 @@ def make_query_embed_fn(config):
             )
         # bf16 device output -> f32 (the store's on-disk convention;
         # ml_dtypes bfloat16 does not round-trip through .npz)
+        if post is not None:  # decoder kinds: (hidden, lengths) per chunk
+            hidden, lengths = embed_fn(chunks)
+            return post(
+                np.asarray(hidden)[:n], np.asarray(lengths)[:n]
+            ).astype(np.float32)
         return np.asarray(embed_fn(chunks))[:n].astype(np.float32)
 
     return run
@@ -293,7 +309,8 @@ class QueryEngine:
 
     def __init__(self, config, index_path: str, checkpoint: Optional[str],
                  redux: str = "bpwr", block_size: int = 512,
-                 resident: bool = True, mesh=None):
+                 resident: bool = True, mesh=None,
+                 quantize: Optional[str] = None):
         import jax
 
         from wealy_tpu.models.registry import build_model
@@ -340,9 +357,14 @@ class QueryEngine:
         # lax.map-streams block-sized slices of the resident arrays, vs the
         # host path's per-block upload of megabytes of sets per query.
         # Residency keeps the index's f16 storage (no precision change vs
-        # the host path); scores are computed in f32.
+        # the host path); scores are computed in f32. quantize="int8"
+        # halves HBM again (2x corpus capacity per chip — Discogs-VI scale)
+        # via per-(song, chunk) absmax scales, dequantized in-kernel.
         self._resident = bool(resident) and self.sets is not None
         self._mesh = mesh
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unsupported quantize={quantize!r}")
+        self._quantized = self._resident and quantize == "int8"
         if self._resident:
             import jax.numpy as jnp
 
@@ -363,7 +385,17 @@ class QueryEngine:
                     [sets, np.zeros((pad, *sets.shape[1:]), sets.dtype)]
                 )
                 mask = np.concatenate([mask, np.zeros((pad, smax), bool)])
-            score = self._make_score_fn()
+            if self._quantized:
+                absmax = np.abs(sets.astype(np.float32)).max(axis=-1)
+                qscale = (np.maximum(absmax, 1e-12) / 127.0).astype(np.float32)
+                sets = np.clip(
+                    np.round(sets.astype(np.float32) / qscale[..., None]),
+                    -127, 127,
+                ).astype(np.int8)
+                scale_arrs = (qscale,)
+            else:
+                scale_arrs = ()
+            score = self._make_score_fn(quantized=self._quantized)
             if mesh is not None:
                 from jax import shard_map
                 from jax.sharding import PartitionSpec as P
@@ -372,37 +404,49 @@ class QueryEngine:
 
                 self._sets_dev = jax.device_put(sets, data_sharding(mesh, 3))
                 self._mask_dev = jax.device_put(mask, data_sharding(mesh, 2))
+                self._scale_dev = tuple(
+                    jax.device_put(s, data_sharding(mesh, 2))
+                    for s in scale_arrs
+                )
                 score = shard_map(
                     score, mesh=mesh,
-                    in_specs=(P(), P(), P("data"), P("data")),
+                    in_specs=(P(), P(), P("data"), P("data"))
+                    + (P("data"),) * len(scale_arrs),
                     out_specs=P(None, "data"),
                 )
             else:
                 self._sets_dev = jax.device_put(jnp.asarray(sets))
                 self._mask_dev = jax.device_put(jnp.asarray(mask))
+                self._scale_dev = tuple(
+                    jax.device_put(jnp.asarray(s)) for s in scale_arrs
+                )
             self._score_dev = jax.jit(score)
 
             # two-stage rescoring: per-query on-device gather of its own
             # shortlist, vmapped so the whole batch is one dispatch
-            def _rerank_one(q, qm, idx, sets, mask):
-                s = jnp.take(sets, idx, axis=0).astype(jnp.float32)
-                m = jnp.take(mask, idx, axis=0)
+            def _rerank_one(q, qm, idx, sets, mask, *scale):
                 from wealy_tpu.eval.retrieval import song_distance_matrix_jnp
 
+                s = jnp.take(sets, idx, axis=0).astype(jnp.float32)
+                if scale:
+                    s = s * jnp.take(scale[0], idx, axis=0)[..., None]
+                m = jnp.take(mask, idx, axis=0)
                 return song_distance_matrix_jnp(
                     q[None], qm[None], s, m, redux=self.redux
                 )[0]
 
-            self._rerank_dev = jax.jit(
-                jax.vmap(_rerank_one, in_axes=(0, 0, 0, None, None))
-            )
+            self._rerank_dev = jax.jit(jax.vmap(
+                _rerank_one,
+                in_axes=(0, 0, 0, None, None) + (None,) * len(scale_arrs),
+            ))
 
-    def _make_score_fn(self):
+    def _make_score_fn(self, quantized: bool = False):
         """(Q, s1, C) query sets vs resident (M, s2, C) sets -> (Q, M)
         distances, M a multiple of block_size — every query in the batch
         rides the same flattened (Q*s1, blk*s2) MXU matmul per block. The
         sets/mask come in as jit ARGUMENTS (a closure would inline the
-        corpus into the compile request)."""
+        corpus into the compile request). ``quantized`` adds a (M, s2)
+        per-chunk scale argument; int8 sets dequantize in-block."""
         import jax
         import jax.numpy as jnp
 
@@ -410,18 +454,23 @@ class QueryEngine:
 
         blk, redux = self.block_size, self.redux
 
-        def score(qsets, qmask, sets, mask):
+        def score(qsets, qmask, sets, mask, *scale):
             s2, C = sets.shape[1], sets.shape[2]
             sets = sets.reshape(-1, blk, s2, C)
             mask = mask.reshape(-1, blk, s2)
+            ops = (sets, mask) + tuple(
+                s.reshape(-1, blk, s2) for s in scale
+            )
 
             def one(args):
-                sb, mb = args
+                sb, mb = args[0].astype(jnp.float32), args[1]
+                if quantized:
+                    sb = sb * args[2][..., None]
                 return song_distance_matrix_jnp(
-                    qsets, qmask, sb.astype(jnp.float32), mb, redux=redux,
+                    qsets, qmask, sb, mb, redux=redux,
                 )  # (Q, blk)
 
-            d = jax.lax.map(one, (sets, mask))  # (nb, Q, blk)
+            d = jax.lax.map(one, ops)  # (nb, Q, blk)
             return jnp.moveaxis(d, 0, 1).reshape(qsets.shape[0], -1)
 
         return score
@@ -509,7 +558,7 @@ class QueryEngine:
                     # per-query on-device gather + rescore, one dispatch
                     d = np.asarray(self._rerank_dev(
                         q32, qmask, jnp.asarray(cand),
-                        self._sets_dev, self._mask_dev,
+                        self._sets_dev, self._mask_dev, *self._scale_dev,
                     ))
                 else:
                     # sharded corpus (a device gather would collective per
@@ -527,7 +576,8 @@ class QueryEngine:
                 # exact full scan over the resident corpus: one dispatch,
                 # lax.map streams block slices device-side
                 d = np.asarray(self._score_dev(
-                    q32, qmask, self._sets_dev, self._mask_dev
+                    q32, qmask, self._sets_dev, self._mask_dev,
+                    *self._scale_dev,
                 ))[:, :n]
             else:
                 # host fallback: corpus streamed in blocks so the
@@ -611,6 +661,7 @@ def cmd_query(args) -> int:
             config, args.index, args.checkpoint,
             redux=args.redux, block_size=args.block_size,
             resident=not args.no_resident, mesh=_serving_mesh(args),
+            quantize=args.quantize,
         )
     except ValueError as e:
         print(f"[query] {e}", file=sys.stderr)
@@ -650,6 +701,7 @@ def cmd_serve(args) -> int:
             config, args.index, args.checkpoint,
             redux=args.redux, block_size=args.block_size,
             resident=not args.no_resident, mesh=_serving_mesh(args),
+            quantize=args.quantize,
         )
     except ValueError as e:
         print(f"[serve] {e}", file=sys.stderr)

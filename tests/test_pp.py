@@ -1,0 +1,96 @@
+"""Pipeline-parallel encoder (parallel/pp.py): the GPipe schedule over a
+``stage`` mesh axis must reproduce the single-device scan-layers encoder
+exactly — stage slicing of the stacked layer axis + ppermute rotation is a
+pure re-scheduling of the same ops. The reference has no parallelism at all
+(SURVEY.md §2.8); this is one of the TPU-native first-class components."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wealy_tpu.models.whisper.config import WhisperConfig
+from wealy_tpu.models.whisper.model import WhisperEncoder
+from wealy_tpu.parallel.pp import make_pp_mesh, pp_encode_fn
+
+CFG = WhisperConfig(
+    n_mels=8, n_audio_ctx=16, n_audio_state=32, n_audio_head=2,
+    n_audio_layer=4, n_vocab=64, n_text_ctx=8, n_text_state=32,
+    n_text_head=2, n_text_layer=1,
+)
+
+
+@pytest.fixture(scope="module")
+def encoder_and_params():
+    enc = WhisperEncoder(CFG, dtype=jnp.float32, scan_layers=True)
+    mel = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, CFG.n_mels, 32))
+        .astype(np.float32)
+    )
+    params = enc.init(jax.random.PRNGKey(0), mel)["params"]
+    want = np.asarray(jax.jit(lambda p, m: enc.apply({"params": p}, m))(
+        params, mel
+    ))
+    return enc, params, mel, want
+
+
+@pytest.mark.parametrize("n_stage,n_micro", [(2, 4), (4, 2), (4, 8)])
+def test_pp_matches_single_device(encoder_and_params, n_stage, n_micro):
+    enc, params, mel, want = encoder_and_params
+    mesh = make_pp_mesh(n_stage, devices=jax.devices()[:n_stage])
+    got = np.asarray(pp_encode_fn(enc, mesh, n_micro=n_micro)(params, mel))
+    err = float(np.max(np.abs(got - want)))
+    assert err < 1e-5, f"S={n_stage} M={n_micro}: max_err={err}"
+
+
+def test_pp_composes_with_dp(encoder_and_params):
+    """(data=2, stage=4) mesh: batch row-sharded over data, each slice
+    pipelined over stage."""
+    enc, params, mel, want = encoder_and_params
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_pp_mesh(4, n_data=2, devices=jax.devices()[:8])
+    got = np.asarray(pp_encode_fn(enc, mesh, n_micro=2)(params, mel))
+    err = float(np.max(np.abs(got - want)))
+    assert err < 1e-5, f"dp x pp: max_err={err}"
+
+
+def test_pp_rejects_bad_shapes(encoder_and_params):
+    enc, params, mel, _ = encoder_and_params
+    with pytest.raises(ValueError, match="not divisible"):
+        pp_encode_fn(enc, make_pp_mesh(3, devices=jax.devices()[:3]))
+    mesh = make_pp_mesh(2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="n_micro"):
+        pp_encode_fn(enc, mesh, n_micro=3)(params, mel)
+
+
+def test_pp_rejects_unrolled_layout():
+    enc_unrolled = WhisperEncoder(CFG, dtype=jnp.float32, scan_layers=False)
+    mel = jnp.zeros((4, CFG.n_mels, 32), jnp.float32)
+    params = enc_unrolled.init(jax.random.PRNGKey(0), mel)["params"]
+    mesh = make_pp_mesh(2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="scan-layers"):
+        pp_encode_fn(enc_unrolled, mesh)(params, mel)
+
+
+def test_pp_from_stacked_unrolled_checkpoint():
+    """stack_block_params converts an unrolled (block_i) tree into the scan
+    layout PP consumes; the pipelined result must match the unrolled model."""
+    from wealy_tpu.models.whisper.convert import stack_block_params
+
+    enc_u = WhisperEncoder(CFG, dtype=jnp.float32, scan_layers=False)
+    mel = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, CFG.n_mels, 32))
+        .astype(np.float32)
+    )
+    params_u = enc_u.init(jax.random.PRNGKey(1), mel)["params"]
+    want = np.asarray(enc_u.apply({"params": params_u}, mel))
+    stacked = stack_block_params(
+        jax.tree_util.tree_map(np.asarray, dict(params_u)), CFG.n_audio_layer
+    )
+    enc_s = WhisperEncoder(CFG, dtype=jnp.float32, scan_layers=True)
+    mesh = make_pp_mesh(4, devices=jax.devices()[:4])
+    got = np.asarray(pp_encode_fn(enc_s, mesh, n_micro=2)(stacked, mel))
+    err = float(np.max(np.abs(got - want)))
+    assert err < 1e-5, f"stacked-checkpoint pp: max_err={err}"

@@ -89,6 +89,44 @@ class TestTPScannedEncoder:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+class TestSequenceParallel:
+    """sequence_parallel=True (Megatron SP): the residual stream between
+    blocks is time-sharded over the model axis; output must still equal the
+    unsharded encoder (the constraint only re-schedules collectives)."""
+
+    @pytest.mark.parametrize("scan", [False, True])
+    def test_sp_matches_unsharded(self, setup, scan):
+        from wealy_tpu.models.whisper.convert import stack_block_params
+
+        cfg, enc, params, mel = setup
+        want = np.asarray(enc.apply({"params": params}, mel))
+        mesh = make_tp_mesh(n_model=4, n_data=2)
+        if scan:
+            enc = WhisperEncoder(cfg, dtype=jnp.float32, scan_layers=True)
+            params = stack_block_params(params, cfg.n_audio_layer)
+        sp = shard_params(params, mesh)
+        got = np.asarray(
+            tp_encode_fn(enc, mesh, sequence_parallel=True)(sp, mel)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_sp_constraint_actually_applied(self, setup):
+        """The compiled SP program must contain the (data, model, None)
+        activation sharding on an inter-block tensor."""
+        cfg, enc, params, mel = setup
+        mesh = make_tp_mesh(n_model=4, n_data=2)
+        sp = shard_params(params, mesh)
+        txt = tp_encode_fn(enc, mesh, sequence_parallel=True).lower(
+            sp, mel
+        ).as_text()
+        base = tp_encode_fn(enc, mesh).lower(sp, mel).as_text()
+        # (B, T, D) constrained to P(data, model, None): a time-axis "model"
+        # sharding the plain-TP program never emits (shardy dialect text)
+        marker = '[{"data"}, {"model"}, {}]'
+        assert marker in txt
+        assert marker not in base
+
+
 class TestTPDecode:
     @pytest.mark.parametrize("n_model,n_data", [(2, 4), (4, 2)])
     def test_greedy_decode_matches_unsharded(self, n_model, n_data):

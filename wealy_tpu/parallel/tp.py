@@ -128,26 +128,63 @@ def tp_decode_fn(
     return decode
 
 
-def tp_encode_fn(model, mesh: Mesh):
+def tp_encode_fn(model, mesh: Mesh, sequence_parallel: bool = False):
     """Jitted TP encoder: mel batch sharded over ``data``, params TP-sharded.
 
     Returns ``fn(sharded_params, mel) -> (B, T, D) states`` (output sharded
     over ``data`` on the batch dim). Pass params through :func:`shard_params`
     first so GSPMD sees the TP layout.
+
+    ``sequence_parallel``: Megatron-style SP on top of TP — the residual
+    stream between blocks carries a ``P("data", "model", None)`` constraint,
+    i.e. the TIME axis is sharded over the same chips that split the width.
+    GSPMD then computes the LayerNorms and residual adds on T/n_model
+    sequence slices per chip and materializes the full sequence only inside
+    the Megatron regions (all_gather going in, reduce_scatter coming out
+    replace the plain psum) — cutting inter-block activation residency and
+    LN/elementwise work per chip by the model-axis factor. Implemented as a
+    flax method interceptor on each block's output, so the parity-critical
+    model code stays untouched and un-forked.
     """
-    from wealy_tpu.models.whisper.model import Whisper
+    from flax import linen as nn
+
+    from wealy_tpu.models.whisper.model import ResidualAttentionBlock, Whisper
 
     mel_sharding = NamedSharding(mesh, P("data", None, None))
     out_sharding = NamedSharding(mesh, P("data", None, None))
     is_full_model = isinstance(model, Whisper)
 
+    seq_sharding = NamedSharding(mesh, P("data", "model", None))
+
+    def _sp_interceptor(next_fun, args, kwargs, context):
+        out = next_fun(*args, **kwargs)
+        if (
+            isinstance(context.module, ResidualAttentionBlock)
+            and context.method_name == "__call__"
+            and isinstance(out, tuple)
+            and len(out) == 2
+        ):
+            y, cache = out
+            return jax.lax.with_sharding_constraint(y, seq_sharding), cache
+        return out
+
     @jax.jit
     def encode(params, mel):
         mel = jax.lax.with_sharding_constraint(mel, mel_sharding)
-        if is_full_model:
-            states = model.apply({"params": params}, mel, method=Whisper.encode)
-        else:  # bare WhisperEncoder
-            states = model.apply({"params": params}, mel)
+        from contextlib import nullcontext
+
+        ctx = (
+            nn.intercept_methods(_sp_interceptor)
+            if sequence_parallel
+            else nullcontext()
+        )
+        with ctx:
+            if is_full_model:
+                states = model.apply(
+                    {"params": params}, mel, method=Whisper.encode
+                )
+            else:  # bare WhisperEncoder
+                states = model.apply({"params": params}, mel)
         return jax.lax.with_sharding_constraint(states, out_sharding)
 
     return encode

@@ -441,6 +441,38 @@ def test_serve_daemon(serve_project, tmp_path):
         assert json.loads(
             urllib.request.urlopen(f"{url}/healthz", timeout=30).read()
         )["ok"]
+
+        # live corpus growth: append a song, `index --update`, POST /reload
+        # -> the running daemon serves the new corpus without a restart
+        df = pd.read_csv(tmp_root / "lc" / "test_no_dup.csv")
+        # a full clique (two versions): single-version cliques are filtered
+        df.loc[len(df)] = (6, 600, False, "o", "F")
+        df.loc[len(df)] = (6, 601, True, "c", "F")
+        df.to_csv(tmp_root / "lc" / "test_no_dup.csv", index=False)
+        rng = np.random.default_rng(600)
+        new_emb = rng.normal(size=(14, 24)).astype(np.float32)
+        store.save("600", "hs_last_seq.npz", embeddings=new_emb)
+        store.save(
+            "601", "hs_last_seq.npz",
+            embeddings=new_emb + 0.05 * rng.normal(size=(14, 24)).astype(
+                np.float32
+            ),
+        )
+        assert main(["index", "--config", str(cpath), "--split", "test",
+                     "--out", str(idx), "--update"]) == 0
+        r = json.loads(urllib.request.urlopen(
+            urllib.request.Request(f"{url}/reload", data=b""), timeout=60
+        ).read())
+        assert r["ok"] and r["was"] == 4 and r["indexed"] == 6, r
+        qreq = urllib.request.Request(
+            f"{url}/query",
+            data=json.dumps(
+                {"embeddings": new_emb.tolist(), "k": 1}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        got = json.loads(urllib.request.urlopen(qreq, timeout=120).read())
+        assert got["results"][0]["version_key"] == "600", got
     finally:
         proc.terminate()
         proc.wait(timeout=30)

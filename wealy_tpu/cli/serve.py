@@ -689,6 +689,10 @@ def cmd_serve(args) -> int:
       (+ optional "k", "pooled", "rerank") -> the same payload `query`
       prints. A {"batch": [entry, ...]} body scores every entry in one
       batched device dispatch and answers {"batch": [payload, ...]}.
+    - ``POST /reload`` -> re-read the index file and swap the corpus in
+      under the search lock (pair with ``index --update`` for live corpus
+      growth without a daemon restart; the compiled audio-embed fn carries
+      over, and queries in flight finish against the old corpus).
     """
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -696,16 +700,22 @@ def cmd_serve(args) -> int:
     from wealy_tpu.cli.main import _load_config
 
     config = _load_config(args.config)
-    try:
-        engine = QueryEngine(
+
+    def build_engine() -> QueryEngine:
+        return QueryEngine(
             config, args.index, args.checkpoint,
             redux=args.redux, block_size=args.block_size,
             resident=not args.no_resident, mesh=_serving_mesh(args),
             quantize=args.quantize,
         )
+
+    try:
+        engine = build_engine()
     except ValueError as e:
         print(f"[serve] {e}", file=sys.stderr)
         return 2
+
+    state = {"engine": engine}
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -722,16 +732,19 @@ def cmd_serve(args) -> int:
         def do_GET(self):
             if self.path != "/healthz":
                 return self._send(404, {"error": "unknown path"})
+            eng = state["engine"]
             self._send(200, {
                 "ok": True,
-                "indexed": len(engine.keys),
-                "model": engine.meta["model"],
-                "split": engine.meta["split"],
-                "checkpoint_step": engine.checkpoint_step,
-                "exact_sets": engine.sets is not None,
+                "indexed": len(eng.keys),
+                "model": eng.meta["model"],
+                "split": eng.meta["split"],
+                "checkpoint_step": eng.checkpoint_step,
+                "exact_sets": eng.sets is not None,
             })
 
         def do_POST(self):
+            if self.path == "/reload":
+                return self._reload()
             if self.path != "/query":
                 return self._send(404, {"error": "unknown path"})
             try:
@@ -740,7 +753,24 @@ def cmd_serve(args) -> int:
             except Exception as e:  # noqa: BLE001 — daemon must not die
                 return self._send(400, {"error": str(e)})
 
+        def _reload(self):
+            try:
+                new = build_engine()
+                with search_lock:
+                    # the compiled raw-audio embed fn is index-independent;
+                    # carry it over so audio queries skip the re-jit
+                    new._audio_fn = state["engine"]._audio_fn
+                    old_n = len(state["engine"].keys)
+                    state["engine"] = new
+            except Exception as e:  # noqa: BLE001 — daemon must not die
+                return self._send(400, {"error": str(e)})
+            self._send(200, {
+                "ok": True, "indexed": len(new.keys), "was": old_n,
+                "checkpoint_step": new.checkpoint_step,
+            })
+
         def _answer_query(self):
+            engine = state["engine"]
             try:
                 req = json.loads(
                     self.rfile.read(int(self.headers["Content-Length"] or 0))

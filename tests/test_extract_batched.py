@@ -303,3 +303,49 @@ class TestDirectPackSink:
         writer.close()
         new = PackedStore(tmp_path, "k", dataset_name="d")
         np.testing.assert_allclose(new.load("a"), 2.0)
+
+
+class TestQuantInt8Extraction:
+    def test_quant_embed_close_to_bf16(self, tmp_path):
+        """make_encoder_embed_fn(quant_int8=True): the W8A8 encoder's
+        mean-pooled clip embeddings stay near-collinear with the bf16
+        path's on the dev model (full 30 s mel -> encoder -> pool)."""
+        from wealy_tpu.audio.mel import N_SAMPLES
+        from wealy_tpu.cli.extract_batched import make_encoder_embed_fn
+
+        config = Config.from_dict({
+            "path": {"lyric_covers_data": str(tmp_path),
+                     "hidden_states": str(tmp_path / "hs"),
+                     "cache": str(tmp_path / "cache")},
+            "data": {"dataset_name": "lyric-covers"},
+            "model": {"name": "whisper", "whisper_size": "dev"},
+        })
+        rng = np.random.default_rng(0)
+        audio = (rng.normal(size=(2, N_SAMPLES)) * 0.1).astype(np.float32)
+        a = np.asarray(make_encoder_embed_fn(config)(audio), np.float32)
+        b = np.asarray(
+            make_encoder_embed_fn(config, quant_int8=True)(audio), np.float32
+        )
+        assert a.shape == b.shape
+        cos = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        )
+        assert cos.min() > 0.99, cos
+
+    def test_cli_rejects_quant_for_decoder_kinds(self, tmp_path):
+        import json as _json
+
+        from wealy_tpu.cli.main import main
+
+        conf = tmp_path / "c.json"
+        conf.write_text(_json.dumps({
+            "path": {"lyric_covers_data": str(tmp_path),
+                     "hidden_states": str(tmp_path / "hs"),
+                     "cache": str(tmp_path / "cache")},
+            "data": {"dataset_name": "lyric-covers"},
+            "model": {"name": "whisper", "whisper_size": "dev"},
+        }))
+        assert main(["extract", "--config", str(conf), "--batched",
+                     "--kinds", "hs_last_seq", "--quant-int8"]) == 2
+        assert main(["extract", "--config", str(conf),
+                     "--kinds", "x_concat", "--quant-int8"]) == 2

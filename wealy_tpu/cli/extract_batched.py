@@ -429,13 +429,43 @@ def make_wealy_embed_fn(
     return lambda audio: _embed(params, head_params, audio)
 
 
-def make_encoder_embed_fn(config: Config, hf_checkpoint: Optional[str] = None):
-    """Default embed_fn: fused Pallas mel -> Whisper encoder -> mean pool."""
+def make_encoder_embed_fn(
+    config: Config,
+    hf_checkpoint: Optional[str] = None,
+    quant_int8: bool = False,
+):
+    """Default embed_fn: fused Pallas mel -> Whisper encoder -> mean pool.
+
+    ``quant_int8``: run the encoder through the W8A8 int8 path
+    (models/whisper/quant.py) — the dense projections ride the 2x-rate int8
+    MXU; LN/softmax/attention stay f32/bf16. Opt-in (like the f8 KV modes);
+    perturbation + throughput in BENCH_NOTES.
+    """
     from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas
     from wealy_tpu.cli.extract import load_whisper_model
     from wealy_tpu.models.whisper.model import Whisper
 
     model, params, wcfg = load_whisper_model(config, hf_checkpoint)
+
+    if quant_int8:
+        import numpy as np
+
+        from wealy_tpu.models.whisper.quant import (
+            quant_encode_fn,
+            quantize_encoder_params,
+        )
+
+        qparams = quantize_encoder_params(
+            jax.tree_util.tree_map(np.asarray, dict(params)), wcfg
+        )
+        qenc = quant_encode_fn(wcfg, dtype=jnp.bfloat16)
+
+        @jax.jit
+        def _embed_q(qparams, audio):
+            mel = log_mel_spectrogram_pallas(audio, n_mels=wcfg.n_mels)
+            return jnp.mean(qenc(qparams, mel), axis=1)
+
+        return lambda audio: _embed_q(qparams, audio)
 
     @jax.jit
     def _embed(params, audio):

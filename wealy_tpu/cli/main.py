@@ -68,6 +68,14 @@ def cmd_extract(args) -> int:
     if args.pack_direct and not args.batched:
         print("[extract] --pack-direct requires --batched", file=sys.stderr)
         return 2
+    if args.quant_int8 and (
+        not args.batched or args.kinds.split(",")[0].startswith("hs_")
+    ):
+        print(
+            "[extract] --quant-int8 requires --batched and an encoder kind "
+            "(x_concat)", file=sys.stderr,
+        )
+        return 2
     if args.pack_direct and args.pack:
         # --pack re-packs from the per-version npz store, which --pack-direct
         # never writes — composing them would overwrite the just-closed
@@ -186,7 +194,10 @@ def cmd_extract(args) -> int:
 
                     embed_fn = make_wealy_embed_fn(config, args.hf_checkpoint)
                 else:
-                    embed_fn = make_encoder_embed_fn(config, args.hf_checkpoint)
+                    embed_fn = make_encoder_embed_fn(
+                        config, args.hf_checkpoint,
+                        quant_int8=args.quant_int8,
+                    )
                 result = extract_split_batched(
                     config,
                     md,
@@ -1189,6 +1200,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="store decode cross-attention K/V in float8 (-28%% per decode "
         "step at B=128; ~1.4%% hidden perturbation — see BENCH_NOTES)",
+    )
+    e.add_argument(
+        "--quant-int8",
+        action="store_true",
+        help="W8A8 int8 encoder for the x_concat kind (dense projections "
+        "on the 2x-rate int8 MXU; perturbation in BENCH_NOTES). Requires "
+        "--batched",
     )
     e.set_defaults(fn=cmd_extract)
 

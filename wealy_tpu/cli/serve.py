@@ -386,12 +386,19 @@ class QueryEngine:
                 )
                 mask = np.concatenate([mask, np.zeros((pad, smax), bool)])
             if self._quantized:
-                absmax = np.abs(sets.astype(np.float32)).max(axis=-1)
-                qscale = (np.maximum(absmax, 1e-12) / 127.0).astype(np.float32)
-                sets = np.clip(
-                    np.round(sets.astype(np.float32) / qscale[..., None]),
-                    -127, 127,
-                ).astype(np.int8)
+                # blockwise over songs: a Discogs-VI-scale corpus (1M songs
+                # ~10 GB f16) must not materialize a full f32 temp copy
+                qscale = np.empty(sets.shape[:2], np.float32)
+                qsets = np.empty(sets.shape, np.int8)
+                for b in range(0, sets.shape[0], 65536):
+                    blk32 = sets[b : b + 65536].astype(np.float32)
+                    am = np.abs(blk32).max(axis=-1)
+                    sc = np.maximum(am, 1e-12) / 127.0
+                    qscale[b : b + 65536] = sc
+                    qsets[b : b + 65536] = np.clip(
+                        np.round(blk32 / sc[..., None]), -127, 127
+                    ).astype(np.int8)
+                sets = qsets
                 scale_arrs = (qscale,)
             else:
                 scale_arrs = ()

@@ -148,6 +148,39 @@ def test_extract_then_retrieve(project, monkeypatch):
     assert m["MAP"] > 0.95, m
     assert m["MR1"] < 1.5, m
 
+    # 4) int8 W8A8 extraction (extract --quant-int8) must preserve retrieval
+    # quality: same corpus re-extracted through the quantized encoder ranks
+    # identically well
+    from wealy_tpu.cli.extract_batched import (
+        extract_split_batched,
+        make_encoder_embed_fn,
+    )
+    from wealy_tpu.train.config import Config
+
+    conf8 = Config.from_dict({
+        "path": {
+            "lyric_covers_data": config.path.lyric_covers_data,
+            "hidden_states": str(tmp_path / "hs_int8"),
+            "cache": str(tmp_path / "cache_int8"),
+            "data": config.path.data,
+        },
+        "data": {"dataset_name": "lyric-covers",
+                 "embedding_type": "encoder", "embedding_format": "concat"},
+        "model": {"whisper_size": "dev"},
+    })
+    r8 = extract_split_batched(
+        conf8, md, "train", make_encoder_embed_fn(conf8, quant_int8=True),
+        kind="x_concat", batch_size=4,
+    )
+    assert len(r8["done"]) == 9 and not r8["incomplete"]
+    ds8 = EmbeddingDataset(conf8, "train", seed=0)
+    z8 = np.stack([
+        ds8.load_embedding(v).mean(axis=0) for v in ds8.sampler.versions
+    ])
+    m8 = evaluate_song_embeddings(z8, np.array(labels), np.array(ids))
+    assert m8["MAP"] > 0.95, (m8, m)
+    assert abs(m8["MAP"] - m["MAP"]) < 0.02, (m8, m)
+
 
 def test_training_improves_retrieval(rng):
     """Metric-learning end-to-end: train the projection head on clustered

@@ -125,6 +125,13 @@ def pp_encode_fn(encoder, mesh: Mesh, n_micro: int = 4):
     the stacked block leaves performs the stage assignment. Output matches
     the single-device encoder exactly (same ops, same order — asserted in
     tests and the driver dryrun).
+
+    Forward/extraction path only (the flagship workload — SURVEY.md §3.5):
+    the schedule is a ``fori_loop``, which JAX cannot reverse-differentiate.
+    Training parallelism is dp (train/step.py) and Megatron TP+SP (tp.py);
+    a trainable GPipe would re-express the loop as ``lax.scan`` and add the
+    1F1B activation stash — not warranted while training targets projection
+    heads plus at most a 32-layer encoder that fits one chip.
     """
     cfg = encoder.config
     S = mesh.shape["stage"]

@@ -44,6 +44,19 @@ def test_pp_matches_single_device(encoder_and_params, n_stage, n_micro):
     assert err < 1e-5, f"S={n_stage} M={n_micro}: max_err={err}"
 
 
+def test_pp_bf16_production_dtype(encoder_and_params):
+    """bf16 (the extraction dtype) flows through the schedule: same result
+    as the single-device bf16 encoder within bf16 noise."""
+    _, params, mel, _ = encoder_and_params
+    enc16 = WhisperEncoder(CFG, dtype=jnp.bfloat16, scan_layers=True)
+    want = np.asarray(enc16.apply({"params": params}, mel), dtype=np.float32)
+    mesh = make_pp_mesh(4, devices=jax.devices()[:4])
+    got = np.asarray(
+        pp_encode_fn(enc16, mesh, n_micro=2)(params, mel), dtype=np.float32
+    )
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
 def test_pp_composes_with_dp(encoder_and_params):
     """(data=2, stage=4) mesh: batch row-sharded over data, each slice
     pipelined over stage."""

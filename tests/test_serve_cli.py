@@ -490,12 +490,23 @@ def _write_wav(path, seconds, sr=16000, freq=440.0):
 
 
 @pytest.mark.slow
-def test_audio_query_decoder_kind(tmp_path, capsys):
+def test_audio_query_decoder_kind(tmp_path, capsys, monkeypatch):
     """Raw wav -> dev-whisper greedy transcription pass -> flattened
     hs_last_seq decoder states -> head -> index search: the serving path
     for the decoder-token taxonomy kinds (previously --query-embeddings
     only). Corpus files are produced by the SAME query embed fn, so
     self-retrieval must hit rank 1."""
+    import functools
+
+    import wealy_tpu.cli.extract_batched as EB
+
+    # cap the greedy decode at 16 tokens for the dev model (the production
+    # default of 224 costs ~6 min of pure CPU decode loop here and tests
+    # nothing extra — length handling is covered in test_whisper_extract)
+    monkeypatch.setattr(
+        EB, "make_decoder_embed_fn",
+        functools.partial(EB.make_decoder_embed_fn, max_len=16),
+    )
     from wealy_tpu.cli.serve import make_query_embed_fn
     from wealy_tpu.data.embedding_store import EmbeddingStore
     from wealy_tpu.train.config import Config

@@ -275,6 +275,93 @@ class TestLayerParity:
             ours, np.transpose(ref, (0, 2, 3, 1)), rtol=1e-4, atol=1e-6
         )
 
+    def test_conv_block(self, rng):
+        """Executed parity for the WEALY projection-head block
+        (lib/layers.py:32-58): Conv1d(no bias) -> ReLU -> LayerNorm, with a
+        temporal stride. LN affines are identity at init on both sides."""
+        import jax
+
+        torch.manual_seed(0)
+        x = rng.normal(size=(2, 5, 12)).astype(np.float32)  # torch (B, C, T)
+        ref_mod = ref_layers.ConvBlock(5, 7, kernel_size=3, stride=2).eval()
+        with torch.no_grad():
+            ref = ref_mod(_t(x)).numpy()
+        xo = np.transpose(x, (0, 2, 1))  # (B, T, C)
+        mod = WL.ConvBlock(7, kernel_size=3, stride=2)
+        params = {
+            "conv": {"kernel": ref_mod.conv.weight.detach().numpy()
+                     .transpose(2, 1, 0)},
+            "norm": dict(mod.init(jax.random.PRNGKey(0), xo)["params"]["norm"]),
+        }
+        ours = np.asarray(mod.apply({"params": params}, xo))
+        np.testing.assert_allclose(
+            ours, np.transpose(ref, (0, 2, 1)), rtol=1e-4, atol=1e-5
+        )
+
+    def test_soft_pool(self, rng):
+        """Executed parity for SoftPool (lib/layers.py:229-242): split
+        linear -> InstanceNorm'd softmax attention -> weighted sum."""
+        import jax
+
+        torch.manual_seed(0)
+        x = rng.normal(size=(2, 6, 9)).astype(np.float32)  # torch (B, C, S)
+        ref_mod = ref_layers.SoftPool(6).eval()
+        with torch.no_grad():
+            ref = ref_mod(_t(x)).numpy()  # (B, C)
+        xo = np.transpose(x, (0, 2, 1))  # (B, S, C)
+        mod = WL.SoftPool(6)
+        vs = mod.init(jax.random.PRNGKey(0), xo)
+        params = jax.tree_util.tree_map(np.asarray, dict(vs["params"]))
+        params["lin"] = {
+            "kernel": ref_mod.lin.lin.weight.detach().numpy().T
+        }
+        ours = np.asarray(mod.apply({"params": params}, xo))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_ibn_res_block(self, rng):
+        """Executed parity for the CLEWS residual core (lib/layers.py:
+        300-348): IBN-pre + SE-post + strided skip branch, torch weights
+        copied into the channel-last flax re-design. Norm affines are
+        identity at init in BOTH frameworks (BN eval-mode running stats
+        0/1, IN affine 1/0), so only convs, SE linears and the residual
+        gain need conversion — the gain is zero-init (the reference's
+        stabilization trick), so it is set to 0.7 on both sides to make
+        the conv branch actually count."""
+        import jax
+
+        torch.manual_seed(0)
+        x = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)  # NCHW
+        ref_mod = ref_layers.MyIBNResBlock(
+            4, 6, factor=0.5, kern=3, stride=2, ibn="pre", se="post"
+        ).eval()
+        with torch.no_grad():
+            ref_mod.gain.fill_(0.7)
+            ref = ref_mod(_t(x)).numpy()
+
+        def conv_k(w):  # torch (O, I, kh, kw) -> flax (kh, kw, I, O)
+            return w.detach().numpy().transpose(2, 3, 1, 0)
+
+        xo = np.transpose(x, (0, 2, 3, 1))
+        mod = WL.MyIBNResBlock(4, 6, factor=0.5, kern=3, stride=2,
+                               ibn="pre", se="post")
+        vs = mod.init(jax.random.PRNGKey(0), np.zeros_like(xo))
+        params = jax.tree_util.tree_map(np.asarray, dict(vs["params"]))
+        params["conv1"] = {"conv": {"kernel": conv_k(ref_mod.convs[2].conv.weight)}}
+        params["conv2"] = {"conv": {"kernel": conv_k(ref_mod.convs[5].conv.weight)}}
+        params["skip_conv"] = {"conv": {"kernel": conv_k(ref_mod.skip[2].conv.weight)}}
+        params["se_post"] = {
+            "fc1": {"kernel": ref_mod.convs[6].mlp[0].weight.detach().numpy().T},
+            "fc2": {"kernel": ref_mod.convs[6].mlp[2].weight.detach().numpy().T},
+        }
+        params["gain"] = np.full((1,), 0.7, np.float32)
+        ours = np.asarray(mod.apply(
+            {"params": params, "batch_stats": vs["batch_stats"]}, xo,
+            train=False,
+        ))
+        np.testing.assert_allclose(
+            ours, np.transpose(ref, (0, 2, 3, 1)), rtol=1e-4, atol=1e-5
+        )
+
 
 def _ref_losses():
     """Import the reference's lib/losses.py by stubbing its unused

@@ -318,6 +318,43 @@ class TestLayerParity:
         ours = np.asarray(mod.apply({"params": params}, xo))
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
+    def test_resnet50_bott_block(self, rng):
+        """Executed parity for the bottleneck block (lib/layers.py:248-294)
+        with IBN + SE + strided conv-BN shortcut all enabled."""
+        import jax
+
+        torch.manual_seed(0)
+        x = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+        ref_mod = ref_layers.ResNet50BottBlock(
+            4, 6, ncfactor=0.5, kern=3, stride=2, ibn=True, se=True
+        ).eval()
+        with torch.no_grad():
+            ref = ref_mod(_t(x)).numpy()
+
+        def conv_k(w):
+            return w.detach().numpy().transpose(2, 3, 1, 0)
+
+        xo = np.transpose(x, (0, 2, 3, 1))
+        mod = WL.ResNet50BottBlock(4, 6, ncfactor=0.5, kern=3, stride=2,
+                                   ibn=True, se=True)
+        vs = mod.init(jax.random.PRNGKey(0), np.zeros_like(xo))
+        params = jax.tree_util.tree_map(np.asarray, dict(vs["params"]))
+        params["conv1"] = {"kernel": conv_k(ref_mod.convs[0].weight)}
+        params["conv2"] = {"kernel": conv_k(ref_mod.convs[3].weight)}
+        params["conv3"] = {"kernel": conv_k(ref_mod.convs[6].weight)}
+        params["se"] = {
+            "fc1": {"kernel": ref_mod.convs[8].mlp[0].weight.detach().numpy().T},
+            "fc2": {"kernel": ref_mod.convs[8].mlp[2].weight.detach().numpy().T},
+        }
+        params["short_conv"] = {"kernel": conv_k(ref_mod.residual[0].weight)}
+        ours = np.asarray(mod.apply(
+            {"params": params, "batch_stats": vs["batch_stats"]}, xo,
+            train=False,
+        ))
+        np.testing.assert_allclose(
+            ours, np.transpose(ref, (0, 2, 3, 1)), rtol=1e-4, atol=1e-5
+        )
+
     def test_ibn_res_block(self, rng):
         """Executed parity for the CLEWS residual core (lib/layers.py:
         300-348): IBN-pre + SE-post + strided skip branch, torch weights

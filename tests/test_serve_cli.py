@@ -612,3 +612,134 @@ def test_audio_query_end_to_end(tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["results"][0]["version_key"] == "401", res
     assert res["query"] == str(wavs["401"])
+
+
+class TestFusionServing:
+    """All seven model families serve: fusion indexes hold per-song fused
+    embeddings (deterministic multimodal collate), raw-audio queries compute
+    BOTH modalities cold through the same extractors that built the corpus."""
+
+    def _conf(self, tmp_path, name, rows):
+        _write_csvs(tmp_path / "lc", rows)
+        conf = {
+            "path": {
+                "lyric_covers_data": str(tmp_path / "lc"),
+                "hidden_states": str(tmp_path / "hs"),
+                "cache": str(tmp_path / "cache"),
+                "data": str(tmp_path / "data"),
+            },
+            "data": {"dataset_name": "lyric-covers", "chunk_size": 8},
+            "model": {"name": name, "zdim": 16, "whisper_size": "dev"},
+        }
+        cpath = tmp_path / "conf.json"
+        cpath.write_text(json.dumps(conf))
+        return cpath, conf
+
+    def test_two_stream_index_and_query(self, tmp_path, capsys):
+        """whisper-clews: index from store files, query via the same mm
+        payloads -> self-retrieval at rank 1; fusion guard rails."""
+        import pytest as _pytest
+
+        from wealy_tpu.cli.serve import QueryEngine
+        from wealy_tpu.data.embedding_store import EmbeddingStore
+        from wealy_tpu.train.config import Config
+
+        rows = {
+            "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A")],
+            "val": [],
+            "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D"),
+                     (5, 500, False, "o", "E"), (5, 501, True, "c", "E")],
+        }
+        cpath, conf = self._conf(tmp_path, "whisper-clews", rows)
+        store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+        rng = np.random.default_rng(0)
+        centers = {}
+        for data in rows.values():
+            for _, vid, _, _, label in data:
+                if label not in centers:
+                    centers[label] = (
+                        rng.normal(size=(24,)).astype(np.float32),
+                        rng.normal(size=(116, 2048)).astype(np.float32),
+                    )
+                cw, cc = centers[label]
+                T = int(rng.integers(10, 16))
+                store.save(str(vid), "hs_last_seq.npz",
+                           embeddings=cw[None] + 0.1 * rng.normal(
+                               size=(T, 24)).astype(np.float32))
+                store.save(str(vid), "hs_clews.npz",
+                           embeddings=(cc + 0.1 * rng.normal(
+                               size=(116, 2048))).astype(np.float32))
+                store.save(str(vid), "hs_clews_avg.npz",
+                           embeddings=rng.normal(size=(2048,)).astype(np.float32))
+                mask = np.ones((116,), bool)
+                mask[:8] = False
+                store.save(str(vid), "hs_clews_mask.npz", embeddings=mask)
+        idx = tmp_path / "serve" / "test.npz"
+        assert main(["index", "--config", str(cpath), "--split", "test",
+                     "--out", str(idx)]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["indexed"] == 4 and out["fusion"] is True
+
+        config = Config.from_dict(conf)
+        eng = QueryEngine(config, str(idx), None)
+        assert eng.fusion and eng.sets is None
+        # query = the stored modalities of song 400 (what a cold audio
+        # query would compute) -> rank-1 self-hit
+        def mm_of(vid):
+            with np.load(store.path(vid, "hs_last_seq.npz")) as d:
+                seq = d["embeddings"]
+            with np.load(store.path(vid, "hs_clews.npz")) as d:
+                fc = d["embeddings"]
+            with np.load(store.path(vid, "hs_clews_mask.npz")) as d:
+                cm = d["embeddings"]
+            return {"whisper_seq": seq, "full_clews": fc,
+                    "avg_clews": fc.mean(0), "clews_mask": cm}
+
+        outs = eng._search_many_mm([mm_of("400"), mm_of("501")], k=2)
+        assert outs[0]["results"][0]["version_key"] == "400", outs[0]
+        assert outs[1]["results"][0]["version_key"] == "501", outs[1]
+        assert outs[0]["scoring"] == "fusion_cosine"
+
+        # guard rails: quantize + embeddings-queries are chunk-set concepts
+        with _pytest.raises(ValueError, match="quantize"):
+            QueryEngine(config, str(idx), None, quantize="int8")
+        qe = store.path("400", "hs_last_seq.npz")
+        assert main(["query", "--config", str(cpath), "--index", str(idx),
+                     "--query-embeddings", str(qe)]) == 2
+        assert "raw-audio" in capsys.readouterr().err
+
+    def test_wealy_fusion_audio_end_to_end(self, tmp_path, capsys):
+        """wealy-clews, full cold path BOTH sides: wavs -> extract
+        hs_wealy_concat (dev whisper + head) + hs_clews (CQT window
+        encoder) -> fusion index -> raw-audio query -> rank-1 self-hit."""
+        rows = {
+            "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A")],
+            "val": [],
+            "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D"),
+                     (5, 500, False, "o", "E"), (5, 501, True, "c", "E")],
+        }
+        cpath, conf = self._conf(tmp_path, "wealy-clews", rows)
+        base = tmp_path / "data" / "LyricCovers" / "audio"
+        wavs = {}
+        for (_, vid, *_r), freq in zip(
+            [r for d in rows.values() for r in d], [220, 230, 330, 335, 440, 450]
+        ):
+            w = base / str(vid) / f"{vid}_audio.mp3"  # wav bytes, mp3 name
+            _write_wav(w, seconds=8.0, freq=float(freq))
+            wavs[str(vid)] = w
+        for kinds in ("hs_wealy_concat", "hs_clews"):
+            assert main(["extract", "--config", str(cpath), "--split", "test",
+                         "--kinds", kinds, "--batched", "--batch-size", "8"]
+                        if kinds != "hs_clews" else
+                        ["extract", "--config", str(cpath), "--split", "test",
+                         "--kinds", kinds]) == 0
+        capsys.readouterr()
+        idx = tmp_path / "serve" / "test.npz"
+        assert main(["index", "--config", str(cpath), "--split", "test",
+                     "--out", str(idx)]) == 0
+        capsys.readouterr()
+        assert main(["query", "--config", str(cpath), "--index", str(idx),
+                     "--audio", str(wavs["400"]), "--k", "2"]) == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["results"][0]["version_key"] == "400", res
+        assert res["scoring"] == "fusion_cosine"

@@ -96,7 +96,16 @@ def load_audio(path: str | Path, sr: int = SAMPLE_RATE) -> np.ndarray:
     fallback).
     """
     path = str(path)
-    if path.lower().endswith(".wav"):
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(4)
+    except OSError:
+        magic = b""
+    # dispatch by CONTENT first: real-world corpora carry misnamed files
+    # (e.g. RIFF/WAV bytes under .mp3 — the lyric-covers layout hard-codes
+    # the .mp3 suffix, paths.py:50), and mpg123 would otherwise grind
+    # through 64 KB of "junk" and fail
+    if magic == b"RIFF" or path.lower().endswith(".wav"):
         x = None
         try:
             # native C++ decoder first (handles 24-bit / float / extensible

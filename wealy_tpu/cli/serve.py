@@ -16,8 +16,17 @@ Two commands:
   Whisper embed (the kind the config trains on) -> trained head -> score
   against the index -> top-k (version_key, clique, score) JSON.
 
-Single-modal models only (``whisper``): the fusion models need per-song
-CLEWS/transcription context that a cold query does not have.
+ALL seven ``conf.model.name`` values serve. Fusion families (wealy-clews,
+whisper-clews, multimodal-*) index per-song fused embeddings through the
+deterministic multimodal collate (the train-val protocol,
+collate_functions.py:432-696 first-window selection) and answer RAW-AUDIO
+queries by computing BOTH modalities cold: the Whisper side through the
+extraction pipeline's own embed fns and the CLEWS side through the owned
+CQT -> window-encoder extractor (models/clews_extract.py) — the same
+extractor that produced the indexed hs_clews files, so query and corpus
+stay in one embedding space. Fusion scoring is cosine on the fused song
+vectors (exact chunk-set redux applies to the single-modal family, whose
+songs have chunk SETS; fusion models emit one z per song by construction).
 """
 
 from __future__ import annotations
@@ -62,6 +71,145 @@ def _load_head_params(config, model, checkpoint: Optional[str], L: int, emb_dim:
     return params, step
 
 
+def _mm_collate_fn(config, sig):
+    from wealy_tpu.data.collate_factory import (
+        collate_wealy_clews,
+        collate_whisper_clews,
+    )
+
+    def collate(items):
+        if sig == "wealy":
+            return collate_wealy_clews(items, wealy_mode="deterministic")
+        return collate_whisper_clews(
+            items, chunk_size=config.data.chunk_size, use_random_chunks=False
+        )
+
+    return collate
+
+
+def _mm_init_params(model, sig, flat):
+    """Init fusion params from one flattened probe batch (cmd_train's
+    example construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    if sig == "wealy":
+        example = (
+            jnp.asarray(flat["wealy"]),
+            jnp.asarray(flat["full_clews"]),
+            ~jnp.asarray(flat["clews_mask"]),
+        )
+    else:
+        example = (
+            jnp.asarray(flat["whisper_seq"]),
+            ~jnp.asarray(flat["whisper_mask"]),
+            jnp.asarray(flat["full_clews"]),
+            ~jnp.asarray(flat["clews_mask"]),
+        )
+    return model.init(jax.random.PRNGKey(0), *example)["params"]
+
+
+def _mm_restore_params(config, checkpoint):
+    from wealy_tpu.train.checkpoint import CheckpointManager
+
+    ckpt_dir = checkpoint or config.path.checkpoints
+    if ckpt_dir:
+        mgr = CheckpointManager(ckpt_dir)
+        step = mgr.latest_step()
+        if step is not None:
+            return mgr.restore()["params"], step
+    return None, None
+
+
+def _index_fusion(args, config, sig) -> int:
+    """Fusion-family index: per-song fused embeddings through the
+    deterministic multimodal collate (one z per song; cosine retrieval —
+    the fusion evaluate semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wealy_tpu.data.multimodal import WealyClewsDataset, WhisperClewsDataset
+    from wealy_tpu.train.multimodal import build_trainable, flatten_multimodal_batch
+    from wealy_tpu.utils.hostmem import trim_host_heap
+
+    if getattr(args, "update", False):
+        print(
+            "[index] --update is not supported for fusion indexes "
+            "(one z per song, cheap to rebuild); run without --update",
+            file=sys.stderr,
+        )
+        return 2
+    model, _, model_call = build_trainable(
+        config.model.name, zdim=config.model.zdim
+    )
+    ds_cls = WealyClewsDataset if sig == "wealy" else WhisperClewsDataset
+    ds = ds_cls(config, args.split, n_per_class=1, seed=0)
+    collate = _mm_collate_fn(config, sig)
+    n = len(ds)
+    if n == 0:
+        print(f"[index] split {args.split!r} is empty", file=sys.stderr)
+        return 2
+    probe = flatten_multimodal_batch(collate([ds[0], ds[min(1, n - 1)]]))
+    params, step = _mm_restore_params(config, args.checkpoint)
+    if params is None:
+        params = _mm_init_params(model, sig, probe)
+    embed = jax.jit(model_call)
+    G = max(1, args.song_group)
+    zs = []
+    for g0 in range(0, n, G):
+        items = [ds[i] for i in range(g0, min(g0 + G, n))]
+        pad = G - len(items)
+        if pad:
+            items = items + [items[0]] * pad
+        flat = flatten_multimodal_batch(collate(items))
+        feed = {
+            k: jnp.asarray(v) for k, v in flat.items()
+            if k not in ("labels", "ids")
+        }
+        zs.append(np.asarray(embed(params, feed), np.float32)[: G - pad])
+        if (g0 // G) % 32 == 31:
+            trim_host_heap()
+    versions = list(ds.sampler.versions)
+    meta = {
+        "index_version": INDEX_VERSION,
+        "model": config.model.name,
+        "zdim": int(config.model.zdim),
+        "split": args.split,
+        "checkpoint_step": step,
+        "chunk_size": config.data.chunk_size,
+        "overlap": float(config.data.overlap_percentage),
+        "has_sets": False,
+        "fusion": True,
+        "sig": sig,
+        "wealy_dim": int(probe["wealy"].shape[-1]) if sig == "wealy" else None,
+        "emb_dim": (
+            int(probe["whisper_seq"].shape[-1]) if sig != "wealy" else None
+        ),
+        "clews_shape": [int(s) for s in probe["full_clews"].shape[1:]],
+    }
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(
+        out,
+        version_keys=np.asarray(versions),
+        cliques=np.asarray([ds.sampler.clique_of[v] for v in versions]),
+        labels=np.asarray(
+            [ds.sampler.labels[ds.sampler.clique_of[v]] for v in versions],
+            np.int32,
+        ),
+        ids=np.asarray(
+            [int(ds.metadata.info[v]["id"]) for v in versions], np.int64
+        ),
+        vecs=np.concatenate(zs, axis=0),
+        meta=np.asarray(json.dumps(meta)),
+    )
+    print(json.dumps({
+        "indexed": n, "out": str(out), "zdim": int(config.model.zdim),
+        "sets": False, "fusion": True, "checkpoint_step": step,
+    }))
+    return 0
+
+
 def cmd_index(args) -> int:
     """Embed a split into a serving index file."""
     import jax
@@ -77,12 +225,7 @@ def cmd_index(args) -> int:
     config = _load_config(args.config)
     model, sig = build_model(config.model.name, zdim=config.model.zdim)
     if sig != "single":
-        print(
-            f"[index] {config.model.name} is a fusion model; serving "
-            "supports single-modal (whisper) heads",
-            file=sys.stderr,
-        )
-        return 2
+        return _index_fusion(args, config, sig)
     # --update must see source-CSV changes: bypass the processed-metadata
     # cache read (a stale cache would silently hide newly added songs)
     ds = EmbeddingDataset(
@@ -303,6 +446,77 @@ def embed_query_audio(config, audio_path: str) -> np.ndarray:
     return make_query_embed_fn(config)(audio_path)
 
 
+def make_mm_query_embed_fn(config, meta, wealy_head_checkpoint=None):
+    """Raw audio -> the multimodal per-song dict the fusion collates consume
+    (data/multimodal.py item format). Both modalities are computed cold:
+
+    - CLEWS side: the owned CQT -> window-encoder extractor
+      (models/clews_extract.py, default params/seed) — the SAME extractor
+      `extract --kinds hs_clews` runs, so the query lands in the indexed
+      hs_clews embedding space. Pass trained CLEWS params upstream by
+      re-extracting the corpus; query-side custom weights ride the same
+      default-extractor contract.
+    - Whisper side: "wealy" sig -> mel -> encoder -> WEALY ProjectionHead
+      chunk embeddings at the corpus's wealy_dim (head weights from
+      ``wealy_head_checkpoint``; random init otherwise — matching the
+      default `extract --kinds hs_wealy_concat`); "two_stream" sig ->
+      greedy decode -> flattened hs_last_seq decoder states.
+    """
+    from wealy_tpu.audio.decode import load_audio
+    from wealy_tpu.models.clews_extract import make_clews_extractor
+    from wealy_tpu.models.whisper.extract import chunk_waveform
+    from wealy_tpu.train.config import Config
+
+    sig = meta["sig"]
+    clews = make_clews_extractor()
+    if sig == "wealy":
+        from wealy_tpu.cli.extract_batched import make_wealy_embed_fn
+
+        cfg_w = Config.from_dict(config.to_dict())
+        cfg_w.model.zdim = int(meta["wealy_dim"])
+        # the fusion checkpoint dir holds FUSION params, not a WEALY head —
+        # never feed it to the head restore
+        cfg_w.path.checkpoints = ""
+        embed_fn = make_wealy_embed_fn(
+            cfg_w, head_checkpoint=wealy_head_checkpoint
+        )
+        post = None
+    else:
+        from wealy_tpu.cli.extract_batched import make_decoder_embed_fn
+        from wealy_tpu.models.whisper.extract import flatten_decoder_sequence
+
+        embed_fn = make_decoder_embed_fn(config, language=None)
+        post = flatten_decoder_sequence
+
+    def run(audio_path: str) -> dict:
+        audio = load_audio(audio_path)
+        trio = clews(audio)
+        chunks = chunk_waveform(audio)
+        n = chunks.shape[0]
+        pad = -(-n // _QUERY_PAD) * _QUERY_PAD
+        if pad != n:
+            chunks = np.concatenate(
+                [chunks, np.zeros((pad - n, chunks.shape[1]), np.float32)]
+            )
+        if post is None:
+            wealy = np.asarray(embed_fn(chunks))[:n].astype(np.float32)
+            whisper = {"wealy": {"embeddings": wealy}}
+        else:
+            hidden, lengths = embed_fn(chunks)
+            seq = post(
+                np.asarray(hidden)[:n], np.asarray(lengths)[:n]
+            ).astype(np.float32)
+            whisper = {"whisper_seq": seq}
+        return {
+            **whisper,
+            "full_clews": trio["hs_clews"],
+            "avg_clews": trio["hs_clews_avg"],
+            "clews_mask": trio["hs_clews_mask"],
+        }
+
+    return run
+
+
 class QueryEngine:
     """Loaded-once search state: index arrays + jitted head. Shared by the
     one-shot ``query`` command and the persistent ``serve`` daemon."""
@@ -337,8 +551,49 @@ class QueryEngine:
                 f"{config.model.name}/{config.model.zdim}"
             )
         model, sig = build_model(config.model.name, zdim=config.model.zdim)
-        if sig != "single":
-            raise ValueError("fusion models are not servable")
+        self.fusion = bool(self.meta.get("fusion"))
+        if (sig != "single") != self.fusion:
+            raise ValueError(
+                f"index sig mismatch: index fusion={self.fusion} but "
+                f"model {config.model.name!r} is "
+                f"{'fusion' if sig != 'single' else 'single-modal'}"
+            )
+        if self.fusion:
+            from wealy_tpu.train.multimodal import build_trainable
+
+            if quantize:
+                raise ValueError(
+                    "quantize applies to chunk-set indexes; fusion indexes "
+                    "hold one vector per song"
+                )
+
+            fmodel, fsig, model_call = build_trainable(
+                config.model.name, zdim=config.model.zdim
+            )
+            if fsig != self.meta["sig"]:
+                raise ValueError(
+                    f"index built for sig={self.meta['sig']!r}; model "
+                    f"resolves to {fsig!r}"
+                )
+            params, self.checkpoint_step = _mm_restore_params(
+                config, checkpoint
+            )
+            if params is None:
+                params = _mm_init_params(
+                    fmodel, fsig, self._mm_probe_flat(fsig)
+                )
+            self._mm_params = params
+            self._embed_mm = jax.jit(model_call)
+            self._mm_sig = fsig
+            self._collate_mm = _mm_collate_fn(config, fsig)
+            self._vn = self.vecs / np.maximum(
+                np.linalg.norm(self.vecs, axis=-1, keepdims=True), 1e-9
+            )
+            self._audio_fn = None
+            self._resident = False
+            self._mesh = None
+            self._quantized = False
+            return
         self.L = self.meta["chunk_size"]
         self._model = model
         self._params, self.checkpoint_step = _load_head_params(
@@ -482,11 +737,39 @@ class QueryEngine:
 
         return score
 
-    def embed_audio(self, audio_path: str) -> np.ndarray:
-        """Raw audio -> query sequence through a cached compiled embed fn
-        (first call builds + jits the Whisper path, later calls reuse it)."""
+    def _mm_probe_flat(self, sig):
+        """Synthetic flat probe (meta-recorded dims) for fusion param init
+        when no checkpoint exists."""
+        Lc, Cc = self.meta["clews_shape"]
+        mask = np.ones((2, Lc), bool)
+        mask[:, :1] = False  # one valid window: masked means stay finite
+        flat = {
+            "full_clews": np.zeros((2, Lc, Cc), np.float32),
+            "avg_clews": np.zeros((2, Cc), np.float32),
+            "clews_mask": mask,
+        }
+        if sig == "wealy":
+            flat["wealy"] = np.zeros((2, self.meta["wealy_dim"]), np.float32)
+        else:
+            flat["whisper_seq"] = np.zeros(
+                (2, self.meta["chunk_size"], self.meta["emb_dim"]), np.float32
+            )
+            wm = np.ones((2, self.meta["chunk_size"]), bool)
+            wm[:, :1] = False
+            flat["whisper_mask"] = wm
+        return flat
+
+    def embed_audio(self, audio_path: str):
+        """Raw audio -> query payload through a cached compiled embed fn
+        (first call builds + jits the Whisper/CLEWS paths, later calls reuse
+        them). Single-modal: a (T, C) sequence. Fusion: the multimodal
+        per-song dict."""
         if self._audio_fn is None:
-            self._audio_fn = make_query_embed_fn(self.config)
+            self._audio_fn = (
+                make_mm_query_embed_fn(self.config, self.meta)
+                if self.fusion
+                else make_query_embed_fn(self.config)
+            )
         return self._audio_fn(audio_path)
 
     def search(self, seq: np.ndarray, k: int = 10, pooled: bool = False,
@@ -519,6 +802,8 @@ class QueryEngine:
             song_distance_matrix,
         )
 
+        if self.fusion:
+            return self._search_many_mm(seqs, k=k)
         exact = self.sets is not None and not pooled
         Q = len(seqs)
         if Q == 0:
@@ -631,6 +916,47 @@ class QueryEngine:
         return outs
 
 
+    def _search_many_mm(self, mms, k: int = 10):
+        """Fusion search: multimodal query dicts (see
+        :func:`make_mm_query_embed_fn`) -> deterministic collate -> fused z
+        -> cosine against the indexed song vectors. One device dispatch per
+        batch; Q padded to a multiple of 4 like the single-modal path."""
+        import jax.numpy as jnp
+
+        from wealy_tpu.train.multimodal import flatten_multimodal_batch
+
+        Q = len(mms)
+        if Q == 0:
+            return []
+        Qp = 1 if Q == 1 else -(-Q // 4) * 4
+        items = [(i, [(i, mm)]) for i, mm in enumerate(mms)]
+        items = items + [items[0]] * (Qp - Q)
+        flat = flatten_multimodal_batch(self._collate_mm(items))
+        feed = {
+            key: jnp.asarray(v) for key, v in flat.items()
+            if key not in ("labels", "ids")
+        }
+        z = np.asarray(self._embed_mm(self._mm_params, feed), np.float32)[:Q]
+        zn = z / np.maximum(np.linalg.norm(z, axis=-1, keepdims=True), 1e-9)
+        cos = zn @ self._vn.T  # (Q, n)
+        outs = []
+        for i in range(Q):
+            order = np.argsort(-cos[i])[: min(k, len(self.keys))]
+            outs.append({
+                "scoring": "fusion_cosine",
+                "results": [
+                    {
+                        "rank": r + 1,
+                        "version_key": self.keys[j],
+                        "clique": self.cliques[j],
+                        "score": round(float(cos[i, j]), 6),
+                    }
+                    for r, j in enumerate(order)
+                ],
+            })
+        return outs
+
+
 def _serving_mesh(args):
     """Host-local data mesh for ``--shard`` (None on a single device)."""
     if not getattr(args, "shard", False):
@@ -656,11 +982,7 @@ def cmd_query(args) -> int:
     from wealy_tpu.cli.main import _load_config
 
     config = _load_config(args.config)
-    queries = [(p, _load_seq(p)) for p in args.query_embeddings or []]
-    if args.audio:
-        embed = make_query_embed_fn(config)  # one model init for all files
-        queries.extend((p, embed(p)) for p in args.audio)
-    if not queries:
+    if not (args.audio or args.query_embeddings):
         print("[query] no --audio or --query-embeddings given", file=sys.stderr)
         return 2
     try:
@@ -670,9 +992,17 @@ def cmd_query(args) -> int:
             resident=not args.no_resident, mesh=_serving_mesh(args),
             quantize=args.quantize,
         )
+        if engine.fusion and args.query_embeddings:
+            raise ValueError(
+                "fusion indexes answer raw-audio queries only (a query "
+                "needs BOTH modalities computed cold); pass --audio"
+            )
     except ValueError as e:
         print(f"[query] {e}", file=sys.stderr)
         return 2
+    queries = [(p, _load_seq(p)) for p in args.query_embeddings or []]
+    # engine.embed_audio caches one compiled embed fn across all files
+    queries.extend((p, engine.embed_audio(p)) for p in args.audio or [])
     # all queries score in one batched device dispatch
     outs = engine.search_many(
         [s for _, s in queries], k=args.k, pooled=args.pooled,
@@ -791,6 +1121,11 @@ def cmd_serve(args) -> int:
                 seqs = []
                 for e in entries:
                     if "embeddings" in e:
+                        if engine.fusion:
+                            raise ValueError(
+                                "fusion indexes answer audio_path queries "
+                                "only (both modalities are computed cold)"
+                            )
                         seq = np.asarray(e["embeddings"], np.float32)
                         if seq.ndim != 2:
                             raise ValueError("embeddings must be (T, C)")

@@ -743,3 +743,63 @@ class TestFusionServing:
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["results"][0]["version_key"] == "400", res
         assert res["scoring"] == "fusion_cosine"
+
+    def test_fusion_trained_checkpoint_reaches_engine(self, tmp_path, capsys):
+        """A trained fusion checkpoint flows into both `index` (recorded
+        step) and the QueryEngine (restored params): train whisper-clews
+        briefly, index, and verify the indexed vectors differ from a
+        random-init rebuild (i.e. the checkpoint actually loaded)."""
+        from wealy_tpu.cli.serve import QueryEngine
+        from wealy_tpu.data.embedding_store import EmbeddingStore
+        from wealy_tpu.train.config import Config
+
+        rows = {
+            "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A"),
+                      (2, 200, False, "o", "B"), (2, 201, True, "c", "B"),
+                      (3, 300, False, "o", "C"), (3, 301, True, "c", "C"),
+                      (7, 700, False, "o", "G"), (7, 701, True, "c", "G")],
+            "val": [],
+            "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D")],
+        }
+        cpath, conf = self._conf(tmp_path, "whisper-clews", rows)
+        conf["path"]["checkpoints"] = str(tmp_path / "ckpt")
+        # batch_size 4 x n_per_class 2 = 8 flat items: divisible by the
+        # 8-virtual-device test mesh the train step shards over
+        conf["train"] = {"batch_size": 4, "max_steps": 2, "lr": 1e-3,
+                         "checkpoint_every": 1}
+        cpath.write_text(json.dumps(conf))
+        store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+        rng = np.random.default_rng(0)
+        for data in rows.values():
+            for _, vid, *_r in data:
+                store.save(str(vid), "hs_last_seq.npz",
+                           embeddings=rng.normal(size=(12, 24)).astype(np.float32))
+                store.save(str(vid), "hs_clews.npz",
+                           embeddings=rng.normal(size=(116, 2048)).astype(np.float32))
+                store.save(str(vid), "hs_clews_avg.npz",
+                           embeddings=rng.normal(size=(2048,)).astype(np.float32))
+                mask = np.ones((116,), bool)
+                mask[:4] = False
+                store.save(str(vid), "hs_clews_mask.npz", embeddings=mask)
+        assert main(["train", "--config", str(cpath)]) == 0
+        capsys.readouterr()
+        idx = tmp_path / "serve" / "test.npz"
+        assert main(["index", "--config", str(cpath), "--split", "test",
+                     "--out", str(idx)]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["fusion"] is True and out["checkpoint_step"] == 2, out
+
+        config = Config.from_dict(conf)
+        eng = QueryEngine(config, str(idx), None)
+        assert eng.checkpoint_step == 2
+
+        # a random-init rebuild (no checkpoint dir) must differ
+        conf2 = dict(conf)
+        conf2["path"] = dict(conf["path"]); conf2["path"]["checkpoints"] = None
+        c2 = tmp_path / "c2.json"; c2.write_text(json.dumps(conf2))
+        idx2 = tmp_path / "serve" / "t2.npz"
+        assert main(["index", "--config", str(c2), "--split", "test",
+                     "--out", str(idx2)]) == 0
+        capsys.readouterr()
+        with np.load(idx) as a, np.load(idx2) as b:
+            assert not np.allclose(a["vecs"], b["vecs"])

@@ -1094,10 +1094,18 @@ def cmd_serve(args) -> int:
             try:
                 new = build_engine()
                 with search_lock:
-                    # the compiled raw-audio embed fn is index-independent;
-                    # carry it over so audio queries skip the re-jit
-                    new._audio_fn = state["engine"]._audio_fn
-                    old_n = len(state["engine"].keys)
+                    old = state["engine"]
+                    # the compiled raw-audio embed fn only depends on these
+                    # meta fields; carry it over (skip the re-jit) when they
+                    # are unchanged
+                    same_embed = all(
+                        old.meta.get(k) == new.meta.get(k)
+                        for k in ("fusion", "sig", "wealy_dim", "emb_dim",
+                                  "chunk_size")
+                    )
+                    if same_embed:
+                        new._audio_fn = old._audio_fn
+                    old_n = len(old.keys)
                     state["engine"] = new
             except Exception as e:  # noqa: BLE001 — daemon must not die
                 return self._send(400, {"error": str(e)})

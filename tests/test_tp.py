@@ -161,6 +161,100 @@ class TestTPDecode:
         assert err < 1e-4, err
 
 
+class TestTPTraining:
+    """Megatron-sharded TRAINING: the generic train step (params carried by
+    input shardings, global-batch loss shard_map'd over `data`) runs
+    unchanged on a (data, model) mesh with TP-sharded encoder params —
+    grads/AdamW moments inherit the TP layout, loss and updated params
+    match the single-device step."""
+
+    def test_tp_train_step_matches_single_device(self):
+        import numpy as np
+
+        from wealy_tpu.losses import clews_loss
+        from wealy_tpu.train import make_train_step
+        from wealy_tpu.train.state import TrainState, make_optimizer
+        from wealy_tpu.train.step import shard_batch
+
+        cfg = WhisperConfig(
+            n_mels=8, n_audio_ctx=16, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=2, n_vocab=64, n_text_ctx=8, n_text_state=64,
+            n_text_head=4, n_text_layer=1,
+        )
+        from wealy_tpu.models.heads import ProjectionHead
+
+        enc = WhisperEncoder(cfg, dtype=jnp.float32)
+        head = ProjectionHead(zdim=16, hidden=(16,), dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        B = 8
+        mel = jnp.asarray(rng.normal(size=(B, 8, 32)).astype(np.float32))
+        enc_p = enc.init(jax.random.PRNGKey(0), mel)["params"]
+        h0 = jnp.zeros((B, cfg.n_audio_ctx, cfg.n_audio_state), jnp.float32)
+        head_p = head.init(
+            jax.random.PRNGKey(1), h0, jnp.ones((B, cfg.n_audio_ctx), bool)
+        )["params"]
+        params = {"encoder": enc_p, "head": head_p}
+
+        def model_call(p, batch):
+            states = enc.apply({"params": p["encoder"]}, batch["emb"])
+            mask = jnp.ones(states.shape[:2], bool)
+            return head.apply({"params": p["head"]}, states, mask)
+
+        batch = {
+            "emb": mel,
+            "labels": jnp.asarray(np.repeat(np.arange(B // 2), 2), jnp.int32),
+            "ids": jnp.arange(B, dtype=jnp.int32),
+        }
+
+        def fresh_state(p):
+            tx = make_optimizer(lr=1e-3, warmup_steps=1, max_steps=10)
+            return TrainState(
+                step=jnp.zeros((), jnp.int32), params=p,
+                opt_state=tx.init(p), tx=tx,
+            )
+
+        # the train step donates its state: give each run its own buffers
+        params_host = jax.device_get(params)
+        step1 = make_train_step(head, clews_loss, mesh=None,
+                                model_call=model_call)
+        new1, logs1 = step1(
+            fresh_state(jax.tree_util.tree_map(jnp.asarray, params_host)),
+            dict(batch),
+        )
+        want = jax.device_get(new1.params)
+
+        mesh = make_tp_mesh(n_model=2, n_data=4)
+        sp = shard_params(params_host, mesh)  # encoder TP, head replicated
+        # moments built FROM the sharded params inherit the TP layout
+        state = fresh_state(sp)
+        moments = [
+            v for p, v in jax.tree_util.tree_flatten_with_path(
+                state.opt_state
+            )[0]
+            if "mlp_fc1" in jax.tree_util.keystr(p)
+            and "kernel" in jax.tree_util.keystr(p)
+        ]
+        assert moments  # adam mu/nu for the TP-split kernel
+        for m in moments:
+            assert {s.data.shape for s in m.addressable_shards} == {(64, 128)}
+        stepm = make_train_step(head, clews_loss, mesh=mesh,
+                                model_call=model_call)
+        newm, logsm = stepm(state, shard_batch(dict(batch), mesh))
+        assert abs(float(logsm["loss"]) - float(logs1["loss"])) < 1e-5
+        got = jax.device_get(newm.params)
+        for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(want),
+            jax.tree_util.tree_leaves_with_path(got),
+        ):
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-5,
+                err_msg=jax.tree_util.keystr(ka),
+            )
+        # updated params keep the TP layout (no silent resharding)
+        k2 = newm.params["encoder"]["block_0"]["mlp_fc1"]["kernel"]
+        assert {s.data.shape for s in k2.addressable_shards} == {(64, 128)}
+
+
 class TestTPBf16:
     """bf16 is the production extraction dtype (load_whisper_model). With
     seq >= 256 the fused Pallas MLP would trigger unless gated off: like

@@ -803,3 +803,68 @@ class TestFusionServing:
         capsys.readouterr()
         with np.load(idx) as a, np.load(idx2) as b:
             assert not np.allclose(a["vecs"], b["vecs"])
+
+    def test_fusion_index_update_incremental(self, tmp_path, capsys):
+        """fusion `index --update`: carries fused vectors byte-identically,
+        embeds only new versions, refuses on checkpoint change."""
+        from wealy_tpu.data.embedding_store import EmbeddingStore
+
+        rows = {
+            "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A")],
+            "val": [],
+            "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D")],
+        }
+        cpath, conf = self._conf(tmp_path, "whisper-clews", rows)
+        store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+        rng = np.random.default_rng(0)
+
+        def save(vid):
+            store.save(str(vid), "hs_last_seq.npz",
+                       embeddings=rng.normal(size=(12, 24)).astype(np.float32))
+            store.save(str(vid), "hs_clews.npz",
+                       embeddings=rng.normal(size=(116, 2048)).astype(np.float32))
+            store.save(str(vid), "hs_clews_avg.npz",
+                       embeddings=rng.normal(size=(2048,)).astype(np.float32))
+            m = np.ones((116,), bool)
+            m[:4] = False
+            store.save(str(vid), "hs_clews_mask.npz", embeddings=m)
+
+        for d in rows.values():
+            for _, vid, *_r in d:
+                save(vid)
+        idx = tmp_path / "serve" / "test.npz"
+        assert main(["index", "--config", str(cpath), "--split", "test",
+                     "--out", str(idx)]) == 0
+        capsys.readouterr()
+        with np.load(idx) as d:
+            before = {str(k): v for k, v in
+                      zip(d["version_keys"], d["vecs"])}
+
+        rows["test"] = rows["test"] + [(5, 500, False, "o", "E"),
+                                       (5, 501, True, "c", "E")]
+        _write_csvs(tmp_path / "lc", rows)
+        for vid in (500, 501):
+            save(vid)
+        assert main(["index", "--config", str(cpath), "--split", "test",
+                     "--out", str(idx), "--update"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["indexed"] == 4 and out["new"] == 2 and out["fusion"]
+        with np.load(idx) as d:
+            keys = [str(k) for k in d["version_keys"]]
+            assert set(keys) == {"400", "401", "500", "501"}
+            for k, v in before.items():
+                np.testing.assert_array_equal(d["vecs"][keys.index(k)], v)
+
+        # a checkpoint-step mismatch invalidates the carry: mixing two
+        # heads' vectors in one index must refuse
+        with np.load(idx) as d:
+            payload = {k: d[k] for k in d.files}
+        meta = json.loads(str(payload["meta"]))
+        meta["checkpoint_step"] = 7
+        payload["meta"] = np.asarray(json.dumps(meta))
+        np.savez(idx, **payload)
+        conf["path"]["checkpoints"] = None
+        cpath.write_text(json.dumps(conf))
+        assert main(["index", "--config", str(cpath), "--split", "test",
+                     "--out", str(idx), "--update"]) == 2
+        assert "refused" in capsys.readouterr().err

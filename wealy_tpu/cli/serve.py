@@ -132,18 +132,13 @@ def _index_fusion(args, config, sig) -> int:
     from wealy_tpu.train.multimodal import build_trainable, flatten_multimodal_batch
     from wealy_tpu.utils.hostmem import trim_host_heap
 
-    if getattr(args, "update", False):
-        print(
-            "[index] --update is not supported for fusion indexes "
-            "(one z per song, cheap to rebuild); run without --update",
-            file=sys.stderr,
-        )
-        return 2
     model, _, model_call = build_trainable(
         config.model.name, zdim=config.model.zdim
     )
     ds_cls = WealyClewsDataset if sig == "wealy" else WhisperClewsDataset
-    ds = ds_cls(config, args.split, n_per_class=1, seed=0)
+    update = bool(getattr(args, "update", False))
+    ds = ds_cls(config, args.split, n_per_class=1, seed=0,
+                refresh_cache=update)
     collate = _mm_collate_fn(config, sig)
     n = len(ds)
     if n == 0:
@@ -153,11 +148,54 @@ def _index_fusion(args, config, sig) -> int:
     params, step = _mm_restore_params(config, args.checkpoint)
     if params is None:
         params = _mm_init_params(model, sig, probe)
+
+    versions = list(ds.sampler.versions)
+    out = Path(args.out)
+    carry_keys, carry_vecs = [], None
+    if update and out.exists():
+        # incremental: carry forward fused vectors for versions still in
+        # the split, embed only the new ones (single-modal --update
+        # semantics; a changed checkpoint/model invalidates the carry)
+        with np.load(out, allow_pickle=False) as old:
+            old_meta = json.loads(str(old["meta"]))
+            want = {
+                "model": config.model.name, "zdim": int(config.model.zdim),
+                "split": args.split, "sig": sig, "fusion": True,
+                "checkpoint_step": step,
+                "index_version": INDEX_VERSION,
+            }
+            stale = [k for k, v in want.items() if old_meta.get(k) != v]
+            if stale:
+                print(
+                    f"[index] --update refused: existing index differs on "
+                    f"{stale}; rebuild without --update", file=sys.stderr,
+                )
+                return 2
+            in_split = set(versions)
+            keep = np.asarray(
+                [str(k) in in_split for k in old["version_keys"]], bool
+            )
+            carry_keys = [
+                str(k) for k, m in zip(old["version_keys"], keep) if m
+            ]
+            carry_vecs = old["vecs"][keep]
+        dropped = int((~keep).sum())
+        carried = set(carry_keys)
+        new_versions = [v for v in versions if v not in carried]
+        print(
+            f"[index] --update: {len(carry_keys)} carried, {dropped} "
+            f"dropped, {len(new_versions)} new", file=sys.stderr,
+        )
+    else:
+        new_versions = versions
+
     embed = jax.jit(model_call)
     G = max(1, args.song_group)
-    zs = []
-    for g0 in range(0, n, G):
-        items = [ds[i] for i in range(g0, min(g0 + G, n))]
+    index_of = {v: i for i, v in enumerate(versions)}
+    zs = [carry_vecs] if carry_vecs is not None and len(carry_vecs) else []
+    for g0 in range(0, len(new_versions), G):
+        gv = new_versions[g0 : g0 + G]
+        items = [ds[index_of[v]] for v in gv]
         pad = G - len(items)
         if pad:
             items = items + [items[0]] * pad
@@ -169,7 +207,7 @@ def _index_fusion(args, config, sig) -> int:
         zs.append(np.asarray(embed(params, feed), np.float32)[: G - pad])
         if (g0 // G) % 32 == 31:
             trim_host_heap()
-    versions = list(ds.sampler.versions)
+    versions = carry_keys + new_versions
     meta = {
         "index_version": INDEX_VERSION,
         "model": config.model.name,
@@ -204,8 +242,9 @@ def _index_fusion(args, config, sig) -> int:
         meta=np.asarray(json.dumps(meta)),
     )
     print(json.dumps({
-        "indexed": n, "out": str(out), "zdim": int(config.model.zdim),
-        "sets": False, "fusion": True, "checkpoint_step": step,
+        "indexed": n, "new": len(new_versions), "out": str(out),
+        "zdim": int(config.model.zdim), "sets": False, "fusion": True,
+        "checkpoint_step": step,
     }))
     return 0
 

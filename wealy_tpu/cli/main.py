@@ -1393,6 +1393,19 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--quantize", choices=["int8"], default=None,
                     help="int8 resident corpus (2x HBM capacity)")
     sv.set_defaults(fn=cmd_serve)
+
+    from wealy_tpu.cli.doctor import cmd_doctor
+
+    dr = sub.add_parser(
+        "doctor",
+        help="environment + project diagnostics (one JSON report; detects a "
+        "wedged TPU tunnel without hanging)",
+    )
+    dr.add_argument("--config", default=None,
+                    help="also check the project this config points at")
+    dr.add_argument("--backend-timeout", type=float, default=30.0,
+                    help="seconds to wait for backend init + one dispatch")
+    dr.set_defaults(fn=cmd_doctor)
     return p
 
 

@@ -87,3 +87,21 @@ def test_weights_are_int8(ref):
     L = CFG.n_audio_layer
     D = CFG.n_audio_state
     assert qp["layers"]["fc1"]["w"].shape == (L, D, 4 * D)
+
+
+def test_quant_data_parallel_on_mesh(ref):
+    """dp int8 extraction: the quantized forward is a plain jit, so a
+    data-sharded mel batch GSPMD-partitions it across the mesh (int8
+    matmuls partition on the batch dim); output equals the unsharded run."""
+    import jax
+
+    from wealy_tpu.parallel.mesh import data_sharding, make_mesh
+
+    params, mel, _ = ref
+    qp = quantize_encoder_params(params, CFG)
+    fn = quant_encode_fn(CFG, dtype=jnp.float32)
+    want = np.asarray(fn(qp, mel))
+    mesh = make_mesh(devices=jax.devices()[:4])
+    mel_sharded = jax.device_put(mel, data_sharding(mesh, 3))
+    got = np.asarray(fn(qp, mel_sharded))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

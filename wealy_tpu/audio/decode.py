@@ -98,14 +98,16 @@ def load_audio(path: str | Path, sr: int = SAMPLE_RATE) -> np.ndarray:
     path = str(path)
     try:
         with open(path, "rb") as f:
-            magic = f.read(4)
+            head = f.read(12)
     except OSError:
-        magic = b""
+        head = b""
     # dispatch by CONTENT first: real-world corpora carry misnamed files
     # (e.g. RIFF/WAV bytes under .mp3 — the lyric-covers layout hard-codes
     # the .mp3 suffix, paths.py:50), and mpg123 would otherwise grind
-    # through 64 KB of "junk" and fail
-    if magic == b"RIFF" or path.lower().endswith(".wav"):
+    # through 64 KB of "junk" and fail. RIFF alone is not enough (AVI/WebP
+    # are RIFF containers too): require the WAVE form type.
+    is_wav_bytes = head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+    if is_wav_bytes or path.lower().endswith(".wav"):
         x = None
         try:
             # native C++ decoder first (handles 24-bit / float / extensible

@@ -1361,6 +1361,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(shard_map scoring; corpus HBM capacity scales with device count)",
     )
     q.add_argument(
+        "--wealy-head-checkpoint", default=None,
+        help="trained WEALY ProjectionHead checkpoint for the QUERY side of "
+        "fusion (wealy-clews family) indexes — must be the head that "
+        "extracted the corpus's hs_wealy_concat files (random init, the "
+        "extraction default, when omitted)",
+    )
+    q.add_argument(
         "--quantize", choices=["int8"], default=None,
         help="int8-quantize the resident corpus (per-chunk absmax scales, "
         "dequantized in-kernel): 2x corpus capacity per chip HBM",
@@ -1390,6 +1397,8 @@ def build_parser() -> argparse.ArgumentParser:
                     "instead of the default device-resident corpus")
     sv.add_argument("--shard", action="store_true",
                     help="shard the resident corpus across all local devices")
+    sv.add_argument("--wealy-head-checkpoint", default=None,
+                    help="trained WEALY head for fusion-index audio queries")
     sv.add_argument("--quantize", choices=["int8"], default=None,
                     help="int8 resident corpus (2x HBM capacity)")
     sv.set_defaults(fn=cmd_serve)

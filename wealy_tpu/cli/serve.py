@@ -190,7 +190,9 @@ def _index_fusion(args, config, sig) -> int:
         new_versions = versions
 
     embed = jax.jit(model_call)
-    G = max(1, args.song_group)
+    # cap by the actual work: an --update with 2 new songs must not pad a
+    # 64-item collated batch (32x wasted FLOPs + a needless jit shape)
+    G = max(1, min(args.song_group, max(1, len(new_versions))))
     index_of = {v: i for i, v in enumerate(versions)}
     zs = [carry_vecs] if carry_vecs is not None and len(carry_vecs) else []
     for g0 in range(0, len(new_versions), G):
@@ -563,7 +565,8 @@ class QueryEngine:
     def __init__(self, config, index_path: str, checkpoint: Optional[str],
                  redux: str = "bpwr", block_size: int = 512,
                  resident: bool = True, mesh=None,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 wealy_head_checkpoint: Optional[str] = None):
         import jax
 
         from wealy_tpu.models.registry import build_model
@@ -571,6 +574,7 @@ class QueryEngine:
         self.config = config
         self.redux = redux
         self.block_size = max(1, block_size)
+        self._wealy_head_checkpoint = wealy_head_checkpoint
         with np.load(index_path, allow_pickle=False) as idx:
             self.meta = json.loads(str(idx["meta"]))
             self.keys = [str(k) for k in idx["version_keys"]]
@@ -658,6 +662,13 @@ class QueryEngine:
         self._mesh = mesh
         if quantize not in (None, "int8"):
             raise ValueError(f"unsupported quantize={quantize!r}")
+        if quantize and not self._resident:
+            # silently serving the unquantized host path would lie to a
+            # capacity/latency operator who explicitly asked for int8
+            raise ValueError(
+                "quantize=int8 requires the device-resident corpus (drop "
+                "--no-resident; pooled-only indexes have no chunk sets)"
+            )
         self._quantized = self._resident and quantize == "int8"
         if self._resident:
             import jax.numpy as jnp
@@ -805,7 +816,10 @@ class QueryEngine:
         per-song dict."""
         if self._audio_fn is None:
             self._audio_fn = (
-                make_mm_query_embed_fn(self.config, self.meta)
+                make_mm_query_embed_fn(
+                    self.config, self.meta,
+                    wealy_head_checkpoint=self._wealy_head_checkpoint,
+                )
                 if self.fusion
                 else make_query_embed_fn(self.config)
             )
@@ -842,6 +856,13 @@ class QueryEngine:
         )
 
         if self.fusion:
+            if rerank:
+                # chunk-set-only option: erroring beats silently ignoring
+                # (the fusion payload carries no 'rerank' field to notice)
+                raise ValueError(
+                    "rerank applies to chunk-set indexes; fusion scoring is "
+                    "already one cosine pass over fused song vectors"
+                )
             return self._search_many_mm(seqs, k=k)
         exact = self.sets is not None and not pooled
         Q = len(seqs)
@@ -1030,6 +1051,7 @@ def cmd_query(args) -> int:
             redux=args.redux, block_size=args.block_size,
             resident=not args.no_resident, mesh=_serving_mesh(args),
             quantize=args.quantize,
+            wealy_head_checkpoint=getattr(args, 'wealy_head_checkpoint', None),
         )
         if engine.fusion and args.query_embeddings:
             raise ValueError(
@@ -1083,6 +1105,7 @@ def cmd_serve(args) -> int:
             redux=args.redux, block_size=args.block_size,
             resident=not args.no_resident, mesh=_serving_mesh(args),
             quantize=args.quantize,
+            wealy_head_checkpoint=getattr(args, 'wealy_head_checkpoint', None),
         )
 
     try:
@@ -1130,24 +1153,51 @@ def cmd_serve(args) -> int:
                 return self._send(400, {"error": str(e)})
 
         def _reload(self):
-            try:
-                new = build_engine()
-                with search_lock:
-                    old = state["engine"]
-                    # the compiled raw-audio embed fn only depends on these
-                    # meta fields; carry it over (skip the re-jit) when they
-                    # are unchanged
-                    same_embed = all(
-                        old.meta.get(k) == new.meta.get(k)
-                        for k in ("fusion", "sig", "wealy_dim", "emb_dim",
-                                  "chunk_size")
-                    )
-                    if same_embed:
-                        new._audio_fn = old._audio_fn
-                    old_n = len(old.keys)
-                    state["engine"] = new
-            except Exception as e:  # noqa: BLE001 — daemon must not die
-                return self._send(400, {"error": str(e)})
+            # the whole swap runs under the search lock: the old corpus's
+            # device buffers are RELEASED before the new engine device_puts
+            # its own — at the advertised capacity limit (a >half-HBM
+            # resident corpus) holding both copies would OOM the chip.
+            # Queries block for the duration; /healthz stays responsive.
+            with search_lock:
+                old = state["engine"]
+                old_n = len(old.keys)
+                old_fn = old._audio_fn
+                old_meta = dict(old.meta)
+                old_step = old.checkpoint_step
+                for a in ("_sets_dev", "_mask_dev", "_scale_dev",
+                          "_score_dev", "_rerank_dev"):
+                    if hasattr(old, a):
+                        setattr(old, a, None)
+                del old
+                try:
+                    new = build_engine()
+                except Exception as e:  # noqa: BLE001
+                    # the old device state is gone: rebuild from the same
+                    # index path so the daemon keeps serving
+                    try:
+                        state["engine"] = build_engine()
+                        state["engine"]._audio_fn = old_fn
+                        return self._send(400, {
+                            "error": f"reload failed ({e}); previous index "
+                            "re-loaded",
+                        })
+                    except Exception as e2:  # noqa: BLE001
+                        return self._send(500, {
+                            "error": f"reload failed ({e}) and the previous "
+                            f"index could not be re-loaded ({e2}); daemon "
+                            "needs a restart",
+                        })
+                # the compiled raw-audio embed fn depends on these meta
+                # fields AND the head checkpoint; carry it (skip the re-jit)
+                # only when none changed
+                same_embed = new.checkpoint_step == old_step and all(
+                    old_meta.get(k) == new.meta.get(k)
+                    for k in ("fusion", "sig", "wealy_dim", "emb_dim",
+                              "chunk_size")
+                )
+                if same_embed:
+                    new._audio_fn = old_fn
+                state["engine"] = new
             self._send(200, {
                 "ok": True, "indexed": len(new.keys), "was": old_n,
                 "checkpoint_step": new.checkpoint_step,

@@ -16,8 +16,23 @@ from wealy_tpu.parallel.similarity import (
     sharded_topk,
 )
 from wealy_tpu.parallel.collectives import global_batch_loss
-from wealy_tpu.parallel.pp import make_pp_mesh, pp_encode_fn
-from wealy_tpu.parallel.tp import make_tp_mesh, shard_params, tp_encode_fn
+
+# tp/pp re-export lazily (PEP 562): pp.py imports flax + the whisper model,
+# which must not tax every `from wealy_tpu.parallel.mesh import make_mesh`
+_LAZY = {
+    "make_pp_mesh": "pp", "pp_encode_fn": "pp",
+    "make_tp_mesh": "tp", "shard_params": "tp", "tp_encode_fn": "tp",
+}
+
+
+def __getattr__(name):
+    mod = _LAZY.get(name)
+    if mod is None:
+        raise AttributeError(name)
+    import importlib
+
+    return getattr(importlib.import_module(f"wealy_tpu.parallel.{mod}"), name)
+
 
 __all__ = [
     "make_mesh",

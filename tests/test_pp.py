@@ -69,6 +69,94 @@ def test_pp_composes_with_dp(encoder_and_params):
     assert err < 1e-5, f"dp x pp: max_err={err}"
 
 
+def test_pp_is_trainable(encoder_and_params):
+    """The scan-based schedule is reverse-differentiable: grads of a scalar
+    loss through the pipelined encoder equal the single-device grads (the
+    ppermute/psum transposes route each stage's contribution home)."""
+    enc, params, mel, _ = encoder_and_params
+    g_sd = jax.grad(
+        lambda p: (enc.apply({"params": p}, mel) ** 2).mean()
+    )(params)
+    mesh = make_pp_mesh(4, devices=jax.devices()[:4])
+    pp = pp_encode_fn(enc, mesh, n_micro=2)
+    g_pp = jax.grad(lambda p: (pp(p, mel) ** 2).mean())(params)
+    for (ka, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(g_sd)),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(g_pp)),
+    ):
+        np.testing.assert_allclose(
+            a, b, rtol=1e-4, atol=1e-6, err_msg=jax.tree_util.keystr(ka)
+        )
+
+
+def test_pp_train_step_matches_single_device(encoder_and_params):
+    """End-to-end pp TRAINING: the generic train step with its model_call
+    routed through the pipelined encoder on a (data=2, stage=4) mesh
+    reproduces the single-device update (loss + post-step params)."""
+    from wealy_tpu.losses import clews_loss
+    from wealy_tpu.models.heads import ProjectionHead
+    from wealy_tpu.train import make_train_step
+    from wealy_tpu.train.state import TrainState, make_optimizer
+    from wealy_tpu.train.step import shard_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    enc, enc_params, mel, _ = encoder_and_params
+    B = mel.shape[0]
+    head = ProjectionHead(zdim=16, hidden=(16,), dtype=jnp.float32)
+    h0 = jnp.zeros((B, CFG.n_audio_ctx, CFG.n_audio_state), jnp.float32)
+    head_p = head.init(
+        jax.random.PRNGKey(1), h0, jnp.ones((B, CFG.n_audio_ctx), bool)
+    )["params"]
+    params = jax.device_get({"encoder": enc_params, "head": head_p})
+    batch = {
+        "emb": mel,
+        "labels": jnp.asarray(np.repeat(np.arange(B // 2), 2), jnp.int32),
+        "ids": jnp.arange(B, dtype=jnp.int32),
+    }
+
+    def fresh_state(p):
+        tx = make_optimizer(lr=1e-3, warmup_steps=1, max_steps=10)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=p,
+                          opt_state=tx.init(p), tx=tx)
+
+    def call_sd(p, b):
+        states = enc.apply({"params": p["encoder"]}, b["emb"])
+        return head.apply(
+            {"params": p["head"]}, states, jnp.ones(states.shape[:2], bool)
+        )
+
+    step_sd = make_train_step(head, clews_loss, mesh=None, model_call=call_sd)
+    new_sd, logs_sd = step_sd(
+        fresh_state(jax.tree_util.tree_map(jnp.asarray, params)), dict(batch)
+    )
+    want = jax.device_get(new_sd.params)
+
+    mesh = make_pp_mesh(4, n_data=2, devices=jax.devices()[:8])
+    pp = pp_encode_fn(enc, mesh, n_micro=2)
+
+    def call_pp(p, b):
+        states = pp(p, b["emb"])
+        return head.apply(
+            {"params": p["head"]}, states, jnp.ones(states.shape[:2], bool)
+        )
+
+    step_pp = make_train_step(head, clews_loss, mesh=mesh, model_call=call_pp)
+    new_pp, logs_pp = step_pp(
+        fresh_state(jax.tree_util.tree_map(jnp.asarray, params)),
+        shard_batch(dict(batch), mesh),
+    )
+    assert abs(float(logs_pp["loss"]) - float(logs_sd["loss"])) < 1e-5
+    got = jax.device_get(new_pp.params)
+    for (ka, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(want),
+        jax.tree_util.tree_leaves_with_path(got),
+    ):
+        np.testing.assert_allclose(
+            a, b, rtol=1e-4, atol=1e-5, err_msg=jax.tree_util.keystr(ka)
+        )
+
+
 def test_pp_rejects_bad_shapes(encoder_and_params):
     enc, params, mel, _ = encoder_and_params
     with pytest.raises(ValueError, match="not divisible"):

@@ -126,12 +126,12 @@ def pp_encode_fn(encoder, mesh: Mesh, n_micro: int = 4):
     the single-device encoder exactly (same ops, same order — asserted in
     tests and the driver dryrun).
 
-    Forward/extraction path only (the flagship workload — SURVEY.md §3.5):
-    the schedule is a ``fori_loop``, which JAX cannot reverse-differentiate.
-    Training parallelism is dp (train/step.py) and Megatron TP+SP (tp.py);
-    a trainable GPipe would re-express the loop as ``lax.scan`` and add the
-    1F1B activation stash — not warranted while training targets projection
-    heads plus at most a 32-layer encoder that fits one chip.
+    Differentiable: the schedule is a ``lax.scan``, so ``jax.grad`` through
+    the returned fn trains the pipelined encoder (GPipe semantics — the
+    scan stashes per-step residuals for the backward pass; per-stage
+    activation memory is O((M+S-1) * mb * T * D), traded back to FLOPs with
+    ``jax.checkpoint`` around the block stack if needed). Gradients match
+    the single-device encoder's exactly (tests/test_pp.py).
     """
     cfg = encoder.config
     S = mesh.shape["stage"]
@@ -165,7 +165,7 @@ def pp_encode_fn(encoder, mesh: Mesh, n_micro: int = 4):
         out = jnp.zeros_like(micro)
         fwd = [(i, (i + 1) % S) for i in range(S)]
 
-        def body(t, carry):
+        def body(carry, t):
             x, out = carry
             y = blocks.apply({"params": block_p}, x)
             # the last stage finished microbatch t-(S-1) this step
@@ -182,9 +182,16 @@ def pp_encode_fn(encoder, mesh: Mesh, n_micro: int = 4):
             nxt = jnp.clip(t + 1, 0, M - 1)
             feed = jax.lax.dynamic_index_in_dim(micro, nxt, 0, keepdims=False)
             x = jnp.where(sidx == 0, feed, y_next)
-            return x, out
+            return (x, out), None
 
-        _, out = jax.lax.fori_loop(0, M + S - 1, body, (micro[0], out))
+        # lax.scan (not fori_loop) so the schedule is reverse-differentiable:
+        # grads ride the ppermute/psum transposes back through the pipeline,
+        # making pp a TRAINING transform too (GPipe semantics — scan stashes
+        # each step's residuals for the backward pass; wrap `blocks.apply`
+        # in jax.checkpoint upstream to trade FLOPs for that memory)
+        (_, out), _ = jax.lax.scan(
+            body, (micro[0], out), jnp.arange(M + S - 1)
+        )
         # only the last stage wrote non-zeros; one psum replicates the
         # finished activations across the stage axis for the final LN
         out = jax.lax.psum(out, "stage")

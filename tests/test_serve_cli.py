@@ -868,3 +868,77 @@ class TestFusionServing:
         assert main(["index", "--config", str(cpath), "--split", "test",
                      "--out", str(idx), "--update"]) == 2
         assert "refused" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_int8_engine_init_memory_bounded(tmp_path):
+    """Capacity discipline: QueryEngine(quantize="int8") at a 100K-song
+    index (1 GB f16 chunk sets) must quantize BLOCKWISE — a naive full-f32
+    temp copy alone would be 4 GB and push peak RSS past ~9 GB. Subprocess
+    VmHWM probe (child-local, like tests/test_scale_eval.py)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    n, smax, zdim = 100_000, 10, 512
+    rng = np.random.default_rng(0)
+    sets = np.empty((n, smax, zdim), np.float16)
+    for b in range(0, n, 16384):
+        m = min(16384, n - b)
+        sets[b : b + m] = rng.standard_normal(
+            (m, smax, zdim), dtype=np.float32
+        ).astype(np.float16)
+    idx = tmp_path / "big.npz"
+    np.savez(
+        idx,
+        version_keys=np.asarray([f"v{i}" for i in range(n)]),
+        cliques=np.asarray([f"c{i // 2}" for i in range(n)]),
+        labels=(np.arange(n) // 2).astype(np.int32),
+        ids=np.arange(n, dtype=np.int64),
+        vecs=sets.mean(axis=1, dtype=np.float32),
+        sets=sets,
+        set_mask=np.ones((n, smax), bool),
+        meta=np.asarray(json.dumps({
+            "index_version": 1, "model": "whisper", "zdim": zdim,
+            "split": "t", "checkpoint_step": None,
+            "embedding_file": "hs_last_seq.npz", "emb_dim": 24,
+            "chunk_size": 8, "overlap": 0.9, "has_sets": True,
+        })),
+    )
+    del sets
+    script = (
+        "import re, json\n"
+        "import numpy as np\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from wealy_tpu.cli.serve import QueryEngine\n"
+        "from wealy_tpu.train.config import Config\n"
+        "config = Config.from_dict({'path': {'lyric_covers_data': '/n',"
+        " 'hidden_states': '/n', 'cache': '/n'},"
+        " 'data': {'dataset_name': 'lyric-covers',"
+        " 'embedding_type': 'last_hidden_states',"
+        " 'embedding_format': 'concat', 'chunk_size': 8},"
+        " 'model': {'name': 'whisper', 'zdim': 512}})\n"
+        f"eng = QueryEngine(config, {str(idx)!r}, None, quantize='int8')\n"
+        "assert eng._quantized and eng._sets_dev.dtype == np.int8\n"
+        "seq = np.random.default_rng(1).normal(size=(16, 24))"
+        ".astype(np.float32)\n"
+        "r = eng.search(seq, k=5, pooled=True)\n"
+        "assert len(r['results']) == 5\n"
+        "with open('/proc/self/status') as f:\n"
+        "    rss = int(re.search(r'VmHWM:\\s+(\\d+) kB',"
+        " f.read()).group(1)) / 1024.0\n"
+        "print(json.dumps({'maxrss_mb': rss}))\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_cpu_max_isa=AVX2",
+               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+    out = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=900, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    probe = json.loads(out.stdout.strip().splitlines()[-1])
+    # measured ~5.6 GB: f16 load (1 GB) + int8 + cpu-"device" copies +
+    # XLA arena/baseline. The guard catches the naive full-f32 quantize
+    # (a +4 GB temp -> >9.5 GB) and any return of the padded-f16 copy
+    assert probe["maxrss_mb"] < 6500, probe

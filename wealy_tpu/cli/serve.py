@@ -582,6 +582,8 @@ class QueryEngine:
             self.vecs = idx["vecs"]
             self.sets = idx["sets"] if "sets" in idx.files else None
             self.set_mask = idx["set_mask"] if "sets" in idx.files else None
+        # survives the quantized-resident path freeing the host f16 copy
+        self._has_sets = self.sets is not None
         if self.meta.get("index_version") != INDEX_VERSION:
             raise ValueError(
                 f"unsupported index version {self.meta.get('index_version')}"
@@ -684,28 +686,40 @@ class QueryEngine:
             # shard's block count static.
             ndev = int(mesh.devices.size) if mesh is not None else 1
             pad = (-n) % (blk * ndev)
-            sets, mask = self.sets, self.set_mask
-            if pad:
-                sets = np.concatenate(
-                    [sets, np.zeros((pad, *sets.shape[1:]), sets.dtype)]
-                )
-                mask = np.concatenate([mask, np.zeros((pad, smax), bool)])
             if self._quantized:
-                # blockwise over songs: a Discogs-VI-scale corpus (1M songs
-                # ~10 GB f16) must not materialize a full f32 temp copy
-                qscale = np.empty(sets.shape[:2], np.float32)
-                qsets = np.empty(sets.shape, np.int8)
-                for b in range(0, sets.shape[0], 65536):
-                    blk32 = sets[b : b + 65536].astype(np.float32)
+                # quantize FIRST (blockwise — a Discogs-VI-scale corpus,
+                # 1M songs ~10 GB f16, must not materialize a full f32
+                # temp), then pad the int8 result: the pad copy costs half
+                # the bytes and the padded f16 never exists
+                qscale = np.zeros((n + pad, smax), np.float32)
+                qsets = np.zeros((n + pad, smax, self.sets.shape[2]), np.int8)
+                for b in range(0, n, 65536):
+                    blk32 = self.sets[b : b + 65536].astype(np.float32)
+                    m = blk32.shape[0]  # destination is padded past n
                     am = np.abs(blk32).max(axis=-1)
                     sc = np.maximum(am, 1e-12) / 127.0
-                    qscale[b : b + 65536] = sc
-                    qsets[b : b + 65536] = np.clip(
+                    qscale[b : b + m] = sc
+                    qsets[b : b + m] = np.clip(
                         np.round(blk32 / sc[..., None]), -127, 127
                     ).astype(np.int8)
                 sets = qsets
+                mask = self.set_mask
+                if pad:
+                    mask = np.concatenate([mask, np.zeros((pad, smax), bool)])
                 scale_arrs = (qscale,)
+                if mesh is None:
+                    # the host f16 copy serves only the non-quantized host/
+                    # rerank fallbacks (the quantized rerank gathers on
+                    # device); dropping it halves host residency — 10 GB
+                    # at the 1M-song capacity point
+                    self.sets = None
             else:
+                sets, mask = self.sets, self.set_mask
+                if pad:
+                    sets = np.concatenate(
+                        [sets, np.zeros((pad, *sets.shape[1:]), sets.dtype)]
+                    )
+                    mask = np.concatenate([mask, np.zeros((pad, smax), bool)])
                 scale_arrs = ()
             score = self._make_score_fn(quantized=self._quantized)
             if mesh is not None:
@@ -864,7 +878,7 @@ class QueryEngine:
                     "already one cosine pass over fused song vectors"
                 )
             return self._search_many_mm(seqs, k=k)
-        exact = self.sets is not None and not pooled
+        exact = self._has_sets and not pooled
         Q = len(seqs)
         if Q == 0:
             return []
@@ -1138,7 +1152,7 @@ def cmd_serve(args) -> int:
                 "model": eng.meta["model"],
                 "split": eng.meta["split"],
                 "checkpoint_step": eng.checkpoint_step,
-                "exact_sets": eng.sets is not None,
+                "exact_sets": eng._has_sets,
             })
 
         def do_POST(self):

@@ -614,6 +614,64 @@ def test_audio_query_end_to_end(tmp_path, capsys):
     assert res["query"] == str(wavs["401"])
 
 
+def test_serve_warmup_precompiles_audio_path(tmp_path, capsys):
+    """--warmup: the daemon pre-compiles the audio-query path at boot (one
+    synthetic silence clip through decode -> embed -> score) and prints a
+    warmup_s line before `serving`."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from wealy_tpu.cli.serve import embed_query_audio
+    from wealy_tpu.data.embedding_store import EmbeddingStore
+    from wealy_tpu.train.config import Config
+
+    rows = {
+        "train": [(1, 100, False, "o", "A"), (1, 101, True, "c", "A")],
+        "val": [],
+        "test": [(4, 400, False, "o", "D"), (4, 401, True, "c", "D")],
+    }
+    _write_csvs(tmp_path / "lc", rows)
+    conf = {
+        "path": {"lyric_covers_data": str(tmp_path / "lc"),
+                 "hidden_states": str(tmp_path / "hs"),
+                 "cache": str(tmp_path / "cache")},
+        "data": {"dataset_name": "lyric-covers",
+                 "embedding_type": "encoder", "embedding_format": "concat",
+                 "chunk_size": 2},
+        "model": {"name": "whisper", "zdim": 8, "whisper_size": "dev"},
+    }
+    cpath = tmp_path / "conf.json"
+    cpath.write_text(json.dumps(conf))
+    config = Config.from_dict(conf)
+    store = EmbeddingStore(tmp_path / "hs", "lyric-covers")
+    w = tmp_path / "a.wav"
+    _write_wav(w, seconds=31.0, freq=330.0)
+    for vid in ("400", "401"):
+        store.save(vid, "x_concat.npz",
+                   embeddings=embed_query_audio(config, str(w)))
+    idx = tmp_path / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+    capsys.readouterr()
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "wealy_tpu.cli.main", "serve",
+         "--config", str(cpath), "--index", str(idx), "--port", "0",
+         "--warmup"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        first = json.loads(proc.stdout.readline())
+        assert "warmup_s" in first and first["warmup_s"] > 0, first
+        second = json.loads(proc.stdout.readline())
+        assert "serving" in second
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 class TestFusionServing:
     """All seven model families serve: fusion indexes hold per-song fused
     embeddings (deterministic multimodal collate), raw-audio queries compute

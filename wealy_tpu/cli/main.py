@@ -1399,6 +1399,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="shard the resident corpus across all local devices")
     sv.add_argument("--wealy-head-checkpoint", default=None,
                     help="trained WEALY head for fusion-index audio queries")
+    sv.add_argument("--warmup", action="store_true",
+                    help="pre-compile the audio-query path with a synthetic "
+                    "clip before accepting requests")
     sv.add_argument("--quantize", choices=["int8"], default=None,
                     help="int8 resident corpus (2x HBM capacity)")
     sv.set_defaults(fn=cmd_serve)

@@ -1255,6 +1255,26 @@ def cmd_serve(args) -> int:
                 return self._send(400, {"error": str(e)})
             self._send(200, out)
 
+    if getattr(args, "warmup", False):
+        # pre-compile the full audio-query path (decode -> embed -> score)
+        # with one synthetic clip so the FIRST real request doesn't pay the
+        # model jit (seconds to minutes through a remote compile service)
+        import tempfile
+        import time
+        import wave as _wave
+
+        t0 = time.perf_counter()
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            with _wave.open(f.name, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(b"\x00\x00" * (16000 * 30))
+            engine.search_many([engine.embed_audio(f.name)], k=1)
+        print(json.dumps({
+            "warmup_s": round(time.perf_counter() - t0, 1)
+        }), flush=True)
+
     # threaded accept loop so /healthz answers while a long query runs;
     # searches themselves serialize on one lock (one device, one jit state)
     search_lock = threading.Lock()

@@ -355,6 +355,128 @@ class TestLayerParity:
             ours, np.transpose(ref, (0, 2, 3, 1)), rtol=1e-4, atol=1e-5
         )
 
+    def test_axis_linear(self, rng):
+        """Executed parity for Linear-along-a-dim (lib/layers.py:105-118):
+        the reference transposes dim<->-1 around a torch Linear; AxisLinear
+        does the same with swapaxes. Exercised on the NON-trivial axis
+        (torch dim=1 on a (B, C, T) tensor, no layout change on our side)."""
+        import jax
+
+        torch.manual_seed(0)
+        x = rng.normal(size=(2, 5, 7)).astype(np.float32)  # (B, C, T)
+        ref_mod = ref_layers.Linear(5, 3, dim=1, bias=True).eval()
+        with torch.no_grad():
+            ref = ref_mod(_t(x)).numpy()  # (B, 3, T)
+        mod = WL.AxisLinear(3, axis=1)
+        params = {
+            "lin": {
+                "kernel": ref_mod.lin.weight.detach().numpy().T,
+                "bias": ref_mod.lin.bias.detach().numpy(),
+            }
+        }
+        ours = np.asarray(mod.apply({"params": params}, x))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    def test_pad_conv2d(self, rng):
+        """Executed parity for the same-padding odd-kernel Conv2d
+        (lib/layers.py:121-133), strided + biased."""
+        import jax
+
+        torch.manual_seed(0)
+        x = rng.normal(size=(2, 3, 9, 9)).astype(np.float32)  # NCHW
+        ref_mod = ref_layers.PadConv2d(3, 5, kern=3, stride=2, bias=True).eval()
+        with torch.no_grad():
+            ref = ref_mod(_t(x)).numpy()
+        xo = np.transpose(x, (0, 2, 3, 1))
+        mod = WL.PadConv2d(5, 3, stride=2, use_bias=True)
+        params = {
+            "conv": {
+                "kernel": ref_mod.conv.weight.detach().numpy()
+                .transpose(2, 3, 1, 0),
+                "bias": ref_mod.conv.bias.detach().numpy(),
+            }
+        }
+        ours = np.asarray(mod.apply({"params": params}, xo))
+        np.testing.assert_allclose(
+            ours, np.transpose(ref, (0, 2, 3, 1)), rtol=1e-4, atol=1e-5
+        )
+
+    def test_instance_batch_norm_1d_eval(self, rng):
+        """Executed parity for IBN-1d (lib/layers.py:163-176) in eval mode
+        with NON-identity affines copied across (BN running stats are the
+        0/1 init on both sides; torch InstanceNorm1d never tracks stats)."""
+        import jax
+
+        torch.manual_seed(0)
+        x = rng.normal(size=(3, 6, 11)).astype(np.float32)  # (B, C, T)
+        ref_mod = ref_layers.InstanceBatchNorm1d(6, affine=True).eval()
+        with torch.no_grad():
+            for m in (ref_mod.bn, ref_mod.inst):
+                m.weight.copy_(torch.tensor(
+                    rng.normal(size=3).astype(np.float32)))
+                m.bias.copy_(torch.tensor(
+                    rng.normal(size=3).astype(np.float32)))
+            ref = ref_mod(_t(x)).numpy()
+        xo = np.transpose(x, (0, 2, 1))  # (B, T, C)
+        mod = WL.InstanceBatchNorm(6)
+        vs = mod.init(jax.random.PRNGKey(0), xo)
+        params = {
+            "bn": {
+                "scale": ref_mod.bn.weight.detach().numpy(),
+                "bias": ref_mod.bn.bias.detach().numpy(),
+            },
+            "inst": {
+                "scale": ref_mod.inst.weight.detach().numpy(),
+                "bias": ref_mod.inst.bias.detach().numpy(),
+            },
+        }
+        ours = np.asarray(mod.apply(
+            {"params": params, "batch_stats": vs["batch_stats"]}, xo,
+            train=False,
+        ))
+        np.testing.assert_allclose(
+            ours, np.transpose(ref, (0, 2, 1)), rtol=1e-4, atol=1e-5
+        )
+
+    def test_instance_batch_norm_2d_train(self, rng):
+        """IBN-2d (lib/layers.py:179-192) in TRAIN mode: both frameworks
+        normalize the BN half with biased per-batch statistics, so outputs
+        must agree even though running-stat bookkeeping differs."""
+        import jax
+
+        torch.manual_seed(0)
+        x = rng.normal(size=(2, 4, 5, 6)).astype(np.float32)  # NCHW
+        ref_mod = ref_layers.InstanceBatchNorm2d(4, affine=True).train()
+        with torch.no_grad():
+            ref = ref_mod(_t(x)).numpy()
+        xo = np.transpose(x, (0, 2, 3, 1))
+        mod = WL.InstanceBatchNorm(4)
+        vs = mod.init(jax.random.PRNGKey(0), xo)
+        ours, _ = mod.apply(
+            {"params": vs["params"], "batch_stats": vs["batch_stats"]}, xo,
+            train=True, mutable=["batch_stats"],
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), np.transpose(ref, (0, 2, 3, 1)),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_squeeze_unsqueeze(self, rng):
+        """lib/layers.py:138-157 Squeeze/Unsqueeze are Sequential-plumbing
+        wrappers; wealy_tpu deliberately uses plain jnp ops (PARITY.md).
+        Executed here to pin the axis semantics anyway."""
+        import jax.numpy as jnp
+
+        x = rng.normal(size=(2, 1, 5)).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.squeeze(x, axis=1)),
+            ref_layers.Squeeze(dim=1)(_t(x)).numpy(),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jnp.expand_dims(x, axis=-1)),
+            ref_layers.Unsqueeze(dim=-1)(_t(x)).numpy(),
+        )
+
     def test_ibn_res_block(self, rng):
         """Executed parity for the CLEWS residual core (lib/layers.py:
         300-348): IBN-pre + SE-post + strided skip branch, torch weights

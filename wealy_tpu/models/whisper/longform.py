@@ -64,6 +64,7 @@ def transcribe_longform(
     language: Optional[int] = 0,
     max_len: int = 224,
     temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    best_of: int = 5,
     compression_ratio_threshold: Optional[float] = 2.4,
     logprob_threshold: Optional[float] = -1.0,
     no_speech_threshold: Optional[float] = 0.6,
@@ -72,6 +73,15 @@ def transcribe_longform(
     seed: int = 0,
 ) -> dict:
     """Transcribe one song's encoder states (n_chunks, ctx, d) sequentially.
+
+    ``best_of``: number of independent candidates sampled per t>0 rung, the
+    winner picked by length-normalized summed log-probability (openai-
+    whisper's ``best_of=5`` + MaximumLikelihoodRanker with
+    ``length_penalty=None``). The t=0 rung is deterministic greedy, so it
+    always decodes a single candidate. The candidates run as ONE batched
+    decode reusing the chunk's precomputed cross-attention K/V, and the
+    batch amortizes the per-step parameter reads that dominate small-batch
+    decode cost (candidate K/V re-reads do scale with ``best_of``).
 
     Returns dict with:
       - ``chunk_tokens``: list of per-chunk generated token-id lists
@@ -108,21 +118,40 @@ def transcribe_longform(
         total_len = min(config.n_text_ctx, len(prompt) + max_len)
         chosen = None
         for t in temperatures:
+            # t=0 is deterministic greedy (one candidate); sampled rungs
+            # draw `best_of` independent candidates as one batched decode
+            n_cand = 1 if t == 0.0 else max(1, int(best_of))
+            if n_cand > 1:
+                states_t = jnp.broadcast_to(
+                    states, (n_cand,) + states.shape[1:]
+                )
+                xa_kv_t = jax.tree.map(
+                    lambda a: jnp.broadcast_to(a, (n_cand,) + a.shape[1:]),
+                    chunk_xa_kv,
+                )
+            else:
+                states_t, xa_kv_t = states, chunk_xa_kv
             out = greedy_decode(
                 model,
                 params,
-                states,
+                states_t,
                 config,
                 prompt=prompt,
                 max_len=total_len,
                 temperature=float(t),
                 rng=jax.random.fold_in(rng, c * 101 + int(t * 10)),
-                xa_kv=chunk_xa_kv,
+                xa_kv=xa_kv_t,
             )
-            length = int(out["lengths"][0])
-            gen = np.asarray(out["tokens"])[0, len(prompt) : length].tolist()
+            lengths_np = np.asarray(out["lengths"])
+            sumlp_np = np.asarray(out["sum_logprob"], np.float32)
+            # candidate ranking: summed logprob / token count — openai-
+            # whisper's MaximumLikelihoodRanker with length_penalty=None
+            n_gen_all = np.maximum(lengths_np - len(prompt), 1)
+            best = int(np.argmax(sumlp_np / n_gen_all)) if n_cand > 1 else 0
+            length = int(lengths_np[best])
+            gen = np.asarray(out["tokens"])[best, len(prompt) : length].tolist()
             n_gen = max(length - len(prompt), 0)
-            avg_logprob = float(out["sum_logprob"][0]) / (n_gen + 1)
+            avg_logprob = float(sumlp_np[best]) / (n_gen + 1)
             if decode_text is not None:
                 payload = decode_text(gen).encode("utf-8")
             else:
@@ -136,7 +165,7 @@ def transcribe_longform(
                 needs_fallback = True  # low-confidence output
             if (
                 no_speech_threshold is not None
-                and float(out["nospeech_prob"][0]) > no_speech_threshold
+                and float(out["nospeech_prob"][best]) > no_speech_threshold
             ):
                 # confident silence: keep the t=0 result and let the
                 # voice-activity gate below skip the chunk — climbing the
@@ -148,7 +177,7 @@ def transcribe_longform(
                 "temperature": float(t),
                 "avg_logprob": avg_logprob,
                 "compression_ratio": ratio,
-                "no_speech_prob": float(out["nospeech_prob"][0]),
+                "no_speech_prob": float(out["nospeech_prob"][best]),
             }
             if not needs_fallback:
                 break

@@ -22,6 +22,7 @@ from wealy_tpu.parallel.collectives import global_batch_loss
 _LAZY = {
     "make_pp_mesh": "pp", "pp_encode_fn": "pp",
     "make_tp_mesh": "tp", "shard_params": "tp", "tp_encode_fn": "tp",
+    "make_cp_mesh": "ring", "ring_attention": "ring",
 }
 
 
@@ -46,4 +47,6 @@ __all__ = [
     "make_tp_mesh",
     "shard_params",
     "tp_encode_fn",
+    "make_cp_mesh",
+    "ring_attention",
 ]

@@ -315,6 +315,7 @@ def cmd_transcribe(args) -> int:
             overwrite=args.overwrite,
             hf_checkpoint=args.hf_checkpoint,
             n_workers=args.n_workers,
+            beam_size=args.beam_size,
         )
     else:
         from wealy_tpu.cli.transcribe import transcribe_split
@@ -330,6 +331,7 @@ def cmd_transcribe(args) -> int:
             overwrite=args.overwrite,
             hf_checkpoint=args.hf_checkpoint,
             longform=not args.greedy,
+            beam_size=args.beam_size,
         )
     summary = {
         "done": len(result["done"]),
@@ -1234,6 +1236,12 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--batch-size", type=int, default=16)
     tr.add_argument("--n-workers", type=int, default=4,
                     help="host audio-decode threads for --batched")
+    tr.add_argument(
+        "--beam-size", type=int, default=None,
+        help="beam search width for the deterministic rung (openai-whisper "
+        "DecodingOptions.beam_size; default greedy). Composes with both the "
+        "long-form ladder (t=0 rung) and --greedy/--batched per-chunk mode",
+    )
     tr.set_defaults(fn=cmd_transcribe)
 
     pk = sub.add_parser(

@@ -274,6 +274,9 @@ def cmd_index(args) -> int:
         refresh_cache=getattr(args, "update", False),
     )
     versions = list(ds.sampler.versions)
+    if not versions:
+        print(f"[index] split {args.split!r} is empty", file=sys.stderr)
+        return 2
     emb_dim = ds.load_embedding(versions[0]).shape[-1]
     L = config.data.chunk_size
     params, step = _load_head_params(config, model, args.checkpoint, L, emb_dim)

@@ -51,10 +51,14 @@ def transcribe_split(
     overwrite: bool = False,
     hf_checkpoint: Optional[str] = None,
     longform: bool = True,
+    beam_size: Optional[int] = None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Transcribe every version of a split into the reference .txt layout and
-    run the validity census. Returns {done, skipped, failed, census}."""
+    run the validity census. Returns {done, skipped, failed, census}.
+
+    ``beam_size`` (>1) decodes with beam search on the deterministic rung
+    (openai-whisper's ``DecodingOptions.beam_size``); greedy otherwise."""
     from wealy_tpu.cli.extract import load_whisper_model
 
     model, params, wcfg = load_whisper_model(config, hf_checkpoint)
@@ -93,6 +97,7 @@ def transcribe_split(
                 res = transcribe_longform(
                     model, params, enc, wcfg,
                     language=language, max_len=max_len,
+                    beam_size=beam_size,
                     decode_text=(
                         (lambda ids: tokenizer.decode(list(ids)))
                         if tokenizer is not None else None
@@ -106,6 +111,13 @@ def transcribe_split(
                         " ".join(str(int(t)) for t in toks)
                         for toks in res["chunk_tokens"]
                     ]
+            elif beam_size is not None and beam_size > 1:
+                from wealy_tpu.models.whisper.beam import beam_decode
+
+                out = beam_decode(
+                    model, params, enc, wcfg, prompt=prompt,
+                    beam_size=int(beam_size), max_len=max_len,
+                )
             else:
                 out = greedy_decode(
                     model, params, enc, wcfg, prompt=prompt, max_len=max_len
@@ -153,12 +165,14 @@ def _census_result(config, root, split, versions, done, skipped, failed) -> dict
 
 def make_transcribe_fn(config: Config, hf_checkpoint=None, *,
                        language: Optional[int] = 0, max_len: int = 224,
-                       mesh=None):
+                       mesh=None, beam_size: Optional[int] = None):
     """Jitted batched device path for transcription: fused Pallas mel ->
     Whisper encoder -> greedy decode, ONE compile for a fixed (B, N_SAMPLES)
     batch. ``fn(audio) -> (tokens (B, max_len), lengths (B,))``; params are
     jit arguments (closure params blow up remote-compile requests —
-    BENCH_NOTES.md)."""
+    BENCH_NOTES.md). ``beam_size`` (>1) swaps greedy for beam search —
+    per-chunk beams batch across songs exactly like greedy rows (the beam
+    axis flattens into the device batch, wealy_tpu.models.whisper.beam)."""
     import jax
 
     from wealy_tpu.audio.pallas_mel import log_mel_spectrogram_pallas
@@ -171,7 +185,17 @@ def make_transcribe_fn(config: Config, hf_checkpoint=None, *,
     def _run(p, audio):
         mel = log_mel_spectrogram_pallas(audio, n_mels=wcfg.n_mels)
         enc = model.apply({"params": p}, mel, method=Whisper.encode)
-        out = greedy_decode(model, p, enc, wcfg, prompt=prompt, max_len=max_len)
+        if beam_size is not None and beam_size > 1:
+            from wealy_tpu.models.whisper.beam import beam_decode
+
+            out = beam_decode(
+                model, p, enc, wcfg, prompt=prompt,
+                beam_size=int(beam_size), max_len=max_len,
+            )
+        else:
+            out = greedy_decode(
+                model, p, enc, wcfg, prompt=prompt, max_len=max_len
+            )
         return out["tokens"], out["lengths"]
 
     if mesh is not None:
@@ -204,6 +228,7 @@ def transcribe_split_batched(
     overwrite: bool = False,
     hf_checkpoint: Optional[str] = None,
     n_workers: int = 4,
+    beam_size: Optional[int] = None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Cross-song batched transcription: the device-saturating Phase-A
@@ -229,7 +254,7 @@ def transcribe_split_batched(
     if transcribe_fn is None:
         transcribe_fn = make_transcribe_fn(
             config, hf_checkpoint, language=language, max_len=max_len,
-            mesh=mesh,
+            mesh=mesh, beam_size=beam_size,
         )
     prompt_len = getattr(transcribe_fn, "prompt_len", 0)
     tokenizer = ByteLevelBPE.from_dir(tokenizer_dir) if tokenizer_dir else None

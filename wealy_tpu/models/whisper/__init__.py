@@ -14,8 +14,10 @@ from wealy_tpu.models.whisper.convert import (
     params_from_openai_state_dict,
 )
 from wealy_tpu.models.whisper.generate import greedy_decode
+from wealy_tpu.models.whisper.beam import beam_decode
 
 __all__ = [
+    "beam_decode",
     "WhisperConfig",
     "WHISPER_CONFIGS",
     "WhisperEncoder",

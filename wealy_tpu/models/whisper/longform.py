@@ -65,6 +65,7 @@ def transcribe_longform(
     max_len: int = 224,
     temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
     best_of: int = 5,
+    beam_size: Optional[int] = None,
     compression_ratio_threshold: Optional[float] = 2.4,
     logprob_threshold: Optional[float] = -1.0,
     no_speech_threshold: Optional[float] = 0.6,
@@ -82,6 +83,12 @@ def transcribe_longform(
     decode reusing the chunk's precomputed cross-attention K/V, and the
     batch amortizes the per-step parameter reads that dominate small-batch
     decode cost (candidate K/V re-reads do scale with ``best_of``).
+
+    ``beam_size``: when set (>1), the t=0 rung runs BEAM SEARCH instead of
+    greedy — openai-whisper's ``DecodingOptions.beam_size`` semantics (beam
+    search on the deterministic rung, ``best_of`` sampling on the t>0
+    rescue rungs). The beams ride one batched decode like the best_of
+    candidates (wealy_tpu.models.whisper.beam).
 
     Returns dict with:
       - ``chunk_tokens``: list of per-chunk generated token-id lists
@@ -118,8 +125,11 @@ def transcribe_longform(
         total_len = min(config.n_text_ctx, len(prompt) + max_len)
         chosen = None
         for t in temperatures:
-            # t=0 is deterministic greedy (one candidate); sampled rungs
-            # draw `best_of` independent candidates as one batched decode
+            # t=0 is deterministic — greedy, or beam search when beam_size
+            # is set (openai-whisper's beam_size rung semantics); sampled
+            # rungs draw `best_of` independent candidates as one batched
+            # decode
+            use_beam = t == 0.0 and beam_size is not None and beam_size > 1
             n_cand = 1 if t == 0.0 else max(1, int(best_of))
             if n_cand > 1:
                 states_t = jnp.broadcast_to(
@@ -131,17 +141,31 @@ def transcribe_longform(
                 )
             else:
                 states_t, xa_kv_t = states, chunk_xa_kv
-            out = greedy_decode(
-                model,
-                params,
-                states_t,
-                config,
-                prompt=prompt,
-                max_len=total_len,
-                temperature=float(t),
-                rng=jax.random.fold_in(rng, c * 101 + int(t * 10)),
-                xa_kv=xa_kv_t,
-            )
+            if use_beam:
+                from wealy_tpu.models.whisper.beam import beam_decode
+
+                out = beam_decode(
+                    model,
+                    params,
+                    states_t,
+                    config,
+                    prompt=prompt,
+                    beam_size=int(beam_size),
+                    max_len=total_len,
+                    xa_kv=xa_kv_t,
+                )
+            else:
+                out = greedy_decode(
+                    model,
+                    params,
+                    states_t,
+                    config,
+                    prompt=prompt,
+                    max_len=total_len,
+                    temperature=float(t),
+                    rng=jax.random.fold_in(rng, c * 101 + int(t * 10)),
+                    xa_kv=xa_kv_t,
+                )
             lengths_np = np.asarray(out["lengths"])
             sumlp_np = np.asarray(out["sum_logprob"], np.float32)
             # candidate ranking: summed logprob / token count — openai-

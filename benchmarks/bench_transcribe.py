@@ -34,7 +34,8 @@ from wealy_tpu.models.whisper.generate import default_prompt, greedy_decode
 CHUNKS_PER_SONG = 8  # SHS mean (~240 s songs / 30 s chunks)
 
 
-def main(batches=(16, 64, 128), max_lens=(64, 224), size="tiny", iters=4):
+def main(batches=(16, 64, 128), max_lens=(64, 224), size="tiny", iters=4,
+         beam=1):
     cfg = WHISPER_CONFIGS[size]
     model = Whisper(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -50,9 +51,18 @@ def main(batches=(16, 64, 128), max_lens=(64, 224), size="tiny", iters=4):
         def run(p, audio):
             mel = log_mel_spectrogram_pallas(audio, n_mels=cfg.n_mels)
             enc = model.apply({"params": p}, mel, method=Whisper.encode)
-            out = greedy_decode(
-                model, p, enc, cfg, prompt=prompt, max_len=max_len, eot=-1,
-            )
+            if beam > 1:
+                from wealy_tpu.models.whisper.beam import beam_decode
+
+                out = beam_decode(
+                    model, p, enc, cfg, prompt=prompt, beam_size=beam,
+                    max_len=max_len, eot=-1,
+                )
+            else:
+                out = greedy_decode(
+                    model, p, enc, cfg, prompt=prompt, max_len=max_len,
+                    eot=-1,
+                )
             return out["tokens"], out["lengths"]
 
         for B in batches:
@@ -80,7 +90,7 @@ def main(batches=(16, 64, 128), max_lens=(64, 224), size="tiny", iters=4):
             dt = (time.perf_counter() - t0) / iters
             assert np.isfinite(sink).all()
             print(json.dumps({
-                "size": size, "B": B, "max_len": max_len,
+                "size": size, "B": B, "max_len": max_len, "beam": beam,
                 "ms_per_batch": round(dt * 1e3, 2),
                 "chunks_per_s": round(B / dt, 1),
                 "songs_per_s": round(B / dt / CHUNKS_PER_SONG, 2),
@@ -98,4 +108,5 @@ if __name__ == "__main__":
         if len(sys.argv) > 2 else (64, 224)
     )
     size = sys.argv[3] if len(sys.argv) > 3 else "tiny"
-    main(batches=bs, max_lens=mls, size=size)
+    beam = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    main(batches=bs, max_lens=mls, size=size, beam=beam)

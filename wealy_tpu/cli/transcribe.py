@@ -111,17 +111,19 @@ def transcribe_split(
                         " ".join(str(int(t)) for t in toks)
                         for toks in res["chunk_tokens"]
                     ]
-            elif beam_size is not None and beam_size > 1:
-                from wealy_tpu.models.whisper.beam import beam_decode
-
-                out = beam_decode(
-                    model, params, enc, wcfg, prompt=prompt,
-                    beam_size=int(beam_size), max_len=max_len,
-                )
             else:
-                out = greedy_decode(
-                    model, params, enc, wcfg, prompt=prompt, max_len=max_len
-                )
+                if beam_size is not None and beam_size > 1:
+                    from wealy_tpu.models.whisper.beam import beam_decode
+
+                    out = beam_decode(
+                        model, params, enc, wcfg, prompt=prompt,
+                        beam_size=int(beam_size), max_len=max_len,
+                    )
+                else:
+                    out = greedy_decode(
+                        model, params, enc, wcfg, prompt=prompt,
+                        max_len=max_len,
+                    )
                 tokens = np.asarray(out["tokens"])
                 lengths = np.asarray(out["lengths"])
                 pieces = []

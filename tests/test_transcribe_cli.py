@@ -109,6 +109,20 @@ def test_transcribe_resume_skip(project, capsys):
     assert rc == 0 and out["skipped"] == 2 and out["done"] == 0
 
 
+def test_beam_size_on_greedy_path(project, capsys):
+    """--beam-size with --greedy (non-batched): the regression that shipped
+    broken — the beam branch must feed the shared text-pieces builder, so
+    every song produces a .txt and none fail."""
+    tmp_path, cpath, cfg = project
+    rc = main(["transcribe", "--config", str(cpath), "--split", "train",
+               "--max-len", "8", "--language", "-1", "--greedy",
+               "--beam-size", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["done"] == 2 and out["failed"] == 0
+    tree = tmp_path / "cache" / "transcriptions" / "test_set" / "train"
+    assert len(list(tree.glob("*.txt"))) == 2
+
+
 def test_batched_requires_greedy(project, capsys):
     _, cpath, _ = project
     rc = main(["transcribe", "--config", str(cpath), "--split", "train",

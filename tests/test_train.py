@@ -187,6 +187,86 @@ class TestTrainStep:
         np.testing.assert_allclose(float(ld["uniformity_weight"]), 0.5 / 1000, rtol=1e-4)
 
 
+class TestGradAccum:
+    """GradCache-style two-pass step (train.grad_accum): EXACT global-batch
+    loss semantics under chunked activation memory — naive microbatch
+    accumulation would shrink the in-batch negative set, which for metric
+    losses changes the objective (SURVEY.md §2.5)."""
+
+    def _setup(self, grad_accum=1, mesh=None, B=8):
+        model = ProjectionHead(zdim=16, hidden=(16,))
+        ex_emb = jnp.zeros((B, 12, 16), jnp.float32)
+        ex_mask = jnp.ones((B, 12), bool)
+        state = create_train_state(
+            model, (ex_emb, ex_mask),
+            tx=make_optimizer(lr=1e-2, warmup_steps=1, max_steps=100),
+        )
+        step = make_train_step(
+            model, clews_loss, mesh=mesh, grad_accum=grad_accum
+        )
+        return state, step
+
+    def _batch(self, rng, B=8, T=12, C=16):
+        labels = np.repeat(np.arange(B // 2, dtype=np.int32), 2)
+        ids = np.arange(B, dtype=np.int32)
+        emb = rng.normal(size=(B, T, C)).astype(np.float32)
+        mask = np.ones((B, T), bool)
+        return {"labels": labels, "ids": ids, "emb": emb, "mask": mask}
+
+    @pytest.mark.parametrize("n_micro", [2, 4])
+    def test_matches_single_pass_exactly(self, rng, n_micro):
+        """Two steps with grad_accum must track the single-pass trajectory
+        to float tolerance: same loss, same updated params."""
+        batch = self._batch(rng)
+        state_1, step_1 = self._setup(grad_accum=1)
+        state_n, step_n = self._setup(grad_accum=n_micro)
+        for _ in range(2):
+            state_1, ld_1 = step_1(state_1, dict(batch))
+            state_n, ld_n = step_n(state_n, dict(batch))
+            np.testing.assert_allclose(
+                float(ld_1["loss"]), float(ld_n["loss"]), rtol=1e-5
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_1.params),
+            jax.tree_util.tree_leaves(state_n.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6
+            )
+
+    def test_on_mesh_matches_single_device(self, rng):
+        """grad_accum composes with the data mesh (global_batch_loss rides
+        the full chunked z)."""
+        mesh = make_mesh()
+        batch = self._batch(rng)
+        state_1, step_1 = self._setup(grad_accum=1)
+        state_m, step_m = self._setup(grad_accum=2, mesh=mesh)
+        _, ld_1 = step_1(state_1, dict(batch))
+        _, ld_m = step_m(state_m, dict(batch))
+        np.testing.assert_allclose(
+            float(ld_1["loss"]), float(ld_m["loss"]), rtol=1e-4
+        )
+
+    def test_rejects_batch_stats_models(self):
+        with pytest.raises(ValueError, match="batch_stats"):
+            make_train_step(
+                ProjectionHead(zdim=8), clews_loss,
+                with_batch_stats=True, grad_accum=2,
+            )
+
+    def test_rejects_indivisible_batch(self, rng):
+        state, step = self._setup(grad_accum=3)
+        with pytest.raises(ValueError, match="not divisible"):
+            step(state, self._batch(rng, B=8))
+
+    def test_config_key_reaches_step(self):
+        from wealy_tpu.train import Config
+
+        c = Config.from_dict({"train": {"grad_accum": 4}})
+        assert c.train.grad_accum == 4
+        assert Config().train.grad_accum == 1
+
+
 class TestFit:
     def test_loss_decreases(self):
         md = _toy_md()

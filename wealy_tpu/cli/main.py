@@ -589,7 +589,10 @@ def cmd_train(args) -> int:
         ),
         seed=config.train.seed,
     )
-    step = make_train_step(model, loss_fn, mesh=mesh, model_call=model_call)
+    step = make_train_step(
+        model, loss_fn, mesh=mesh, model_call=model_call,
+        grad_accum=config.train.grad_accum,
+    )
     ckpt = (
         CheckpointManager(config.path.checkpoints)
         if config.path.checkpoints

@@ -132,6 +132,10 @@ class TrainConfig:
     # margin). Empty dict = the reference defaults.
     loss_params: dict = dataclasses.field(default_factory=dict)
     batch_size: int = 32
+    # >1: GradCache-style two-pass step — the full batch_size keeps its
+    # exact in-batch negative set while activations live one
+    # batch_size/grad_accum chunk at a time (train/step.py)
+    grad_accum: int = 1
     lr: float = 1e-4
     weight_decay: float = 1e-4
     warmup_steps: int = 1000

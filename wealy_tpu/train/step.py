@@ -13,6 +13,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh
 
 from wealy_tpu.parallel.collectives import global_batch_loss
@@ -26,6 +27,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     model_call: Optional[Callable] = None,
     with_batch_stats: bool = False,
+    grad_accum: int = 1,
 ):
     """Build the jitted train step.
 
@@ -39,7 +41,25 @@ def make_train_step(
 
     With a mesh, the loss consumes the all_gathered global batch; without, it
     runs single-device (tests / 1-chip).
+
+    ``grad_accum > 1``: GradCache-style two-pass chunked step (Gao et al.,
+    "Scaling Deep Contrastive Learning Batch Size under Memory Limited
+    Setup") — naive microbatch accumulation would SHRINK the in-batch
+    negative set (metric losses are batch-size sensitive, SURVEY.md §2.5),
+    so instead: (1) embed the full batch in ``grad_accum`` activation-free
+    chunks via ``lax.map``; (2) take the loss and its gradient wrt the
+    FULL (B, zdim) embedding matrix — exact global-batch semantics, the
+    B x B distance matrix is tiny; (3) re-forward each chunk under
+    ``jax.vjp`` against its slice of dz and accumulate param grads in a
+    ``lax.scan``. Peak activation memory is one chunk's; grads equal the
+    single-pass step's exactly (asserted in tests) at ~1.33x the FLOPs
+    (one extra forward). Requires B % grad_accum == 0; incompatible with
+    ``with_batch_stats`` (BatchNorm batch semantics would change).
     """
+    if grad_accum > 1 and with_batch_stats:
+        raise ValueError(
+            "grad_accum is incompatible with batch_stats (BatchNorm) models"
+        )
     if model_call is None:
         if with_batch_stats:
 
@@ -60,6 +80,76 @@ def make_train_step(
     wrapped_loss = (
         global_batch_loss(loss_fn, mesh) if mesh is not None else loss_fn
     )
+
+    if grad_accum > 1:
+        n_micro = int(grad_accum)
+
+        def _constrain(x, lead):
+            # keep the per-chunk batch dim on the data axis through the
+            # (B, ...) -> (n_micro, B/n_micro, ...) reshape under a mesh
+            if mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P(*([None] * lead + ["data"] + [None] * (x.ndim - lead - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec)
+            )
+
+        def _step_accum(state: TrainState, batch: dict):
+            B = batch["labels"].shape[0]
+            if B % n_micro:
+                raise ValueError(
+                    f"batch size {B} not divisible by grad_accum {n_micro}"
+                )
+            m = B // n_micro
+            chunks = {
+                k: _constrain(
+                    jnp.reshape(jnp.asarray(v), (n_micro, m) + v.shape[1:]), 1
+                )
+                for k, v in batch.items()
+            }
+
+            # (1) activation-free embedding pass, one chunk resident at a time
+            z = lax.map(
+                lambda mb: model_call(state.params, mb), chunks
+            )  # (n_micro, m, zdim)
+            z = _constrain(jnp.reshape(z, (B, -1)), 0)
+
+            # (2) loss + dL/dz on the full embedding matrix (exact in-batch
+            # negatives; the B x B geometry never touches the encoder)
+            def loss_of_z(z):
+                return wrapped_loss(
+                    batch["labels"], batch["ids"], z,
+                    {"global_step": state.step},
+                )
+
+            (loss, logdict), dz = jax.value_and_grad(
+                loss_of_z, has_aux=True
+            )(z)
+            dz = _constrain(jnp.reshape(dz, (n_micro, m, dz.shape[-1])), 1)
+
+            # (3) recompute each chunk under vjp, accumulate param grads
+            def body(acc, xs):
+                mb, dz_mb = xs
+                _, pullback = jax.vjp(
+                    lambda p: model_call(p, mb), state.params
+                )
+                (g,) = pullback(dz_mb)
+                return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.result_type(p)),
+                state.params,
+            )
+            grads, _ = lax.scan(body, zeros, (chunks, dz))
+
+            new_state = state.apply_gradients(grads)
+            logdict = dict(logdict)
+            logdict["loss"] = loss
+            return new_state, logdict
+
+        return jax.jit(_step_accum, donate_argnums=(0,))
 
     def _step(state: TrainState, batch: dict):
         def compute(params):

@@ -244,3 +244,94 @@ class TestBestOf:
             model, params, states[:1], cfg, best_of=1, seed=2, **kw
         )
         assert a["chunk_tokens"][0] != b["chunk_tokens"][0]
+
+
+class _StubTok:
+    """Minimal encode() stub standing in for ByteLevelBPE in suppression
+    tests (deterministic ids per string, single-token for 1-char symbols)."""
+
+    def encode(self, text):
+        if len(text.strip()) <= 1 or text.strip() in ("♪♪", "♪♪♪"):
+            return [1000 + (hash(text) % 500)]
+        return [2000 + (hash(c) % 500) for c in text]
+
+
+class TestDefaultSuppression:
+    def test_specials_always_suppressed(self):
+        from wealy_tpu.models.whisper.generate import default_suppress_tokens
+
+        cfg = WhisperConfig()
+        ids = default_suppress_tokens(cfg)
+        for t in (cfg.sot, cfg.token_transcribe, cfg.token_translate,
+                  cfg.token_startofprev, cfg.token_startoflm,
+                  cfg.token_nospeech):
+            assert t in ids
+        assert cfg.eot not in ids  # eot must stay generatable
+
+    def test_tokenizer_extends_with_symbols(self):
+        from wealy_tpu.models.whisper.generate import default_suppress_tokens
+
+        cfg = WhisperConfig()
+        bare = default_suppress_tokens(cfg)
+        ext = default_suppress_tokens(cfg, _StubTok())
+        assert set(bare) < set(ext)
+        assert all(t < cfg.n_vocab for t in ext)
+
+    def test_small_vocab_filters_out_of_range(self):
+        from wealy_tpu.models.whisper.generate import default_suppress_tokens
+
+        cfg = WhisperConfig(n_vocab=64)  # dev-style tiny vocab: the real
+        # special ids exceed it and must be dropped, not clamped
+        assert default_suppress_tokens(cfg) == []
+
+    def test_longform_respects_suppression(self, tiny_model):
+        """A token dominating the unsuppressed output never appears once
+        suppressed (the default-suppression plumbing through the ladder)."""
+        model, params, cfg, states = tiny_model
+        kw = dict(
+            language=0, max_len=16, temperatures=(0.0,),
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None,
+        )
+        free = transcribe_longform(
+            model, params, states[:1], cfg, suppress_tokens=None, **kw
+        )
+        toks = free["chunk_tokens"][0]
+        assert toks
+        banned = max(set(toks), key=toks.count)
+        out = transcribe_longform(
+            model, params, states[:1], cfg, suppress_tokens=[banned], **kw
+        )
+        assert banned not in out["chunk_tokens"][0]
+
+
+class TestInitialPrompt:
+    def test_seeds_first_chunk_context(self, tiny_model):
+        """openai-whisper initial_prompt semantics: the FIRST chunk decodes
+        under <|startofprev|> context and its output shifts; short prompts
+        cyclic-pad up to the smallest context bucket instead of dropping."""
+        model, params, cfg, states = tiny_model
+        kw = dict(
+            language=0, max_len=16, temperatures=(0.0,),
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None, condition_on_previous_text=False,
+        )
+        base = transcribe_longform(model, params, states[:1], cfg, **kw)
+        hint = transcribe_longform(
+            model, params, states[:1], cfg,
+            initial_prompt_tokens=[300, 301, 302], **kw
+        )
+        assert base["segments"][0]["context_len"] == 0
+        assert hint["segments"][0]["context_len"] == 8  # cyclic-padded
+        assert base["chunk_tokens"][0] != hint["chunk_tokens"][0]
+
+    def test_long_prompt_not_padded(self, tiny_model):
+        model, params, cfg, states = tiny_model
+        out = transcribe_longform(
+            model, params, states[:1], cfg,
+            language=0, max_len=12, temperatures=(0.0,),
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None,
+            initial_prompt_tokens=list(range(300, 312)),
+        )
+        assert out["segments"][0]["context_len"] == 8  # bucket of 12 -> 8

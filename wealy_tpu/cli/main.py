@@ -285,6 +285,19 @@ def cmd_transcribe(args) -> int:
     from wealy_tpu.data.dataset import build_clean_dataset
 
     config = _load_config(args.config)
+    if args.initial_prompt and (args.greedy or args.batched):
+        print(
+            "[transcribe] --initial-prompt needs the long-form path "
+            "(<|startofprev|> context); drop --greedy/--batched",
+            file=sys.stderr,
+        )
+        return 2
+    if args.initial_prompt and not args.tokenizer_dir:
+        print(
+            "[transcribe] --initial-prompt requires --tokenizer-dir "
+            "(the text must be tokenized)", file=sys.stderr,
+        )
+        return 2
     md, _ = build_clean_dataset(config, check_audio=True)
     if args.batched:
         if not args.greedy:
@@ -332,6 +345,7 @@ def cmd_transcribe(args) -> int:
             hf_checkpoint=args.hf_checkpoint,
             longform=not args.greedy,
             beam_size=args.beam_size,
+            initial_prompt=args.initial_prompt,
         )
     summary = {
         "done": len(result["done"]),
@@ -1239,6 +1253,12 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--batch-size", type=int, default=16)
     tr.add_argument("--n-workers", type=int, default=4,
                     help="host audio-decode threads for --batched")
+    tr.add_argument(
+        "--initial-prompt", default=None,
+        help="text pre-seeded into the first chunk's <|startofprev|> "
+        "context (openai-whisper initial_prompt; long-form path only, "
+        "requires --tokenizer-dir)",
+    )
     tr.add_argument(
         "--beam-size", type=int, default=None,
         help="beam search width for the deterministic rung (openai-whisper "

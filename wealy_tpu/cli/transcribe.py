@@ -52,17 +52,30 @@ def transcribe_split(
     hf_checkpoint: Optional[str] = None,
     longform: bool = True,
     beam_size: Optional[int] = None,
+    initial_prompt: Optional[str] = None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Transcribe every version of a split into the reference .txt layout and
     run the validity census. Returns {done, skipped, failed, census}.
 
     ``beam_size`` (>1) decodes with beam search on the deterministic rung
-    (openai-whisper's ``DecodingOptions.beam_size``); greedy otherwise."""
+    (openai-whisper's ``DecodingOptions.beam_size``); greedy otherwise.
+    ``initial_prompt`` (longform only) pre-seeds the first chunk's
+    <|startofprev|> context (openai-whisper semantics; needs a tokenizer).
+    Decoding applies openai-whisper's default suppression set — task
+    specials always, the non-speech symbol tokens when a tokenizer is
+    available (generate.default_suppress_tokens)."""
     from wealy_tpu.cli.extract import load_whisper_model
+    from wealy_tpu.models.whisper.generate import default_suppress_tokens
 
     model, params, wcfg = load_whisper_model(config, hf_checkpoint)
     tokenizer = ByteLevelBPE.from_dir(tokenizer_dir) if tokenizer_dir else None
+    suppress = default_suppress_tokens(wcfg, tokenizer)
+    init_toks = None
+    if initial_prompt:
+        if tokenizer is None:
+            raise ValueError("--initial-prompt requires --tokenizer-dir")
+        init_toks = tokenizer.encode(" " + initial_prompt.strip())
     ds = AudioDataset(metadata, split, config.path.data)
 
     root = (
@@ -98,6 +111,8 @@ def transcribe_split(
                     model, params, enc, wcfg,
                     language=language, max_len=max_len,
                     beam_size=beam_size,
+                    suppress_tokens=suppress,
+                    initial_prompt_tokens=init_toks,
                     decode_text=(
                         (lambda ids: tokenizer.decode(list(ids)))
                         if tokenizer is not None else None
@@ -118,11 +133,12 @@ def transcribe_split(
                     out = beam_decode(
                         model, params, enc, wcfg, prompt=prompt,
                         beam_size=int(beam_size), max_len=max_len,
+                        suppress_tokens=suppress,
                     )
                 else:
                     out = greedy_decode(
                         model, params, enc, wcfg, prompt=prompt,
-                        max_len=max_len,
+                        max_len=max_len, suppress_tokens=suppress,
                     )
                 tokens = np.asarray(out["tokens"])
                 lengths = np.asarray(out["lengths"])
@@ -167,7 +183,8 @@ def _census_result(config, root, split, versions, done, skipped, failed) -> dict
 
 def make_transcribe_fn(config: Config, hf_checkpoint=None, *,
                        language: Optional[int] = 0, max_len: int = 224,
-                       mesh=None, beam_size: Optional[int] = None):
+                       mesh=None, beam_size: Optional[int] = None,
+                       tokenizer=None):
     """Jitted batched device path for transcription: fused Pallas mel ->
     Whisper encoder -> greedy decode, ONE compile for a fixed (B, N_SAMPLES)
     batch. ``fn(audio) -> (tokens (B, max_len), lengths (B,))``; params are
@@ -182,6 +199,9 @@ def make_transcribe_fn(config: Config, hf_checkpoint=None, *,
 
     model, params, wcfg = load_whisper_model(config, hf_checkpoint)
     prompt = default_prompt(wcfg, language=language)
+    from wealy_tpu.models.whisper.generate import default_suppress_tokens
+
+    suppress_tokens = default_suppress_tokens(wcfg, tokenizer)
 
     @jax.jit
     def _run(p, audio):
@@ -193,10 +213,12 @@ def make_transcribe_fn(config: Config, hf_checkpoint=None, *,
             out = beam_decode(
                 model, p, enc, wcfg, prompt=prompt,
                 beam_size=int(beam_size), max_len=max_len,
+                suppress_tokens=suppress_tokens,
             )
         else:
             out = greedy_decode(
-                model, p, enc, wcfg, prompt=prompt, max_len=max_len
+                model, p, enc, wcfg, prompt=prompt, max_len=max_len,
+                suppress_tokens=suppress_tokens,
             )
         return out["tokens"], out["lengths"]
 
@@ -253,13 +275,13 @@ def transcribe_split_batched(
     from wealy_tpu.utils.prefetch import prefetch
     from wealy_tpu.utils.profiling import ThroughputMeter
 
+    tokenizer = ByteLevelBPE.from_dir(tokenizer_dir) if tokenizer_dir else None
     if transcribe_fn is None:
         transcribe_fn = make_transcribe_fn(
             config, hf_checkpoint, language=language, max_len=max_len,
-            mesh=mesh, beam_size=beam_size,
+            mesh=mesh, beam_size=beam_size, tokenizer=tokenizer,
         )
     prompt_len = getattr(transcribe_fn, "prompt_len", 0)
-    tokenizer = ByteLevelBPE.from_dir(tokenizer_dir) if tokenizer_dir else None
     ds = AudioDataset(metadata, split, config.path.data)
 
     root = (

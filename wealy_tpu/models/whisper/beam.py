@@ -106,16 +106,21 @@ def beam_decode(
         eot = config.eot
     BK = B * K
 
-    suppress = (
-        jnp.asarray(list(suppress_tokens), dtype=jnp.int32)
-        if suppress_tokens is not None and len(suppress_tokens) > 0
-        else None
-    )
+    # constant-mask + where, not .at[].set — see generate.py: the scatter
+    # form de-fuses the bf16 logits einsum on XLA:CPU
+    if suppress_tokens is not None and len(suppress_tokens) > 0:
+        import numpy as _np
+
+        _m = _np.zeros((config.n_vocab,), bool)
+        _m[_np.asarray(list(suppress_tokens), _np.int64)] = True
+        suppress_mask = jnp.asarray(_m)
+    else:
+        suppress_mask = None
 
     def _mask_logits(logits):
-        if suppress is None:
+        if suppress_mask is None:
             return logits
-        return logits.at[:, suppress].set(-jnp.inf)
+        return jnp.where(suppress_mask[None, :], -jnp.inf, logits)
 
     # ---- prefill at B (prompt is identical across beams) -------------------
     if xa_kv is None:

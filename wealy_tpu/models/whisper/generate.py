@@ -34,6 +34,44 @@ def default_prompt(config: WhisperConfig, language: Optional[int] = None) -> lis
     return toks
 
 
+def default_suppress_tokens(config: WhisperConfig, tokenizer=None) -> list[int]:
+    """openai-whisper's default ``suppress_tokens="-1"`` list: the task /
+    prompt special tokens are never valid generations, and (with a tokenizer
+    to map them) the non-speech symbol tokens — brackets, quote runs, ♪ —
+    that the model otherwise emits over music (whisper/tokenizer.py
+    ``non_speech_tokens`` in the upstream pip package; NOT part of
+    /root/reference, which ships no decoding code). The reference's
+    transcription trees were produced under this default, so the census
+    heuristics (data/transcription.py) see the same symbol distribution.
+    """
+    ids = {
+        config.sot,
+        config.token_translate,
+        config.token_transcribe,
+        config.token_startoflm,
+        config.token_startofprev,
+        config.token_nospeech,
+    }
+    if tokenizer is not None:
+        symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+        symbols += (
+            "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] "
+            "{{ }} ♪♪ ♪♪♪".split()
+        )
+        miscellaneous = set("♩♪♫♬♭♮♯")
+        for text in (" -", " '"):
+            enc = tokenizer.encode(text)
+            if enc:
+                ids.add(enc[0])
+        for symbol in symbols + list(miscellaneous):
+            for enc in (tokenizer.encode(symbol),
+                        tokenizer.encode(" " + symbol)):
+                if len(enc) == 1 or symbol in miscellaneous:
+                    if enc:
+                        ids.add(enc[0])
+    return sorted(t for t in ids if t < config.n_vocab)
+
+
 def init_kv_caches(config: WhisperConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     """Self-attention KV caches in DECODE layout: k (B, H, Dh, Tmax)
     pre-scaled, v (B, H, Tmax, Dh) — contraction-minor for both attention
@@ -130,16 +168,22 @@ def greedy_decode(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    suppress = (
-        jnp.asarray(list(suppress_tokens), dtype=jnp.int32)
-        if suppress_tokens is not None and len(suppress_tokens) > 0
-        else None
-    )
+    # constant (V,) boolean mask + where instead of a scatter: the .at[].set
+    # form de-fuses the bf16 logits einsum on some backends (XLA:CPU's
+    # DotThunk rejects BF16xBF16=F32 once unfused) and a where is cheaper
+    if suppress_tokens is not None and len(suppress_tokens) > 0:
+        import numpy as _np
+
+        _m = _np.zeros((config.n_vocab,), bool)
+        _m[_np.asarray(list(suppress_tokens), _np.int64)] = True
+        suppress_mask = jnp.asarray(_m)
+    else:
+        suppress_mask = None
 
     def _mask_logits(logits):
-        if suppress is None:
+        if suppress_mask is None:
             return logits
-        return logits.at[:, suppress].set(-jnp.inf)
+        return jnp.where(suppress_mask[None, :], -jnp.inf, logits)
 
     def _choose(logits, step_key):
         """(B, V) masked logits -> (next_token, logprob of it)."""

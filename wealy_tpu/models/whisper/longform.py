@@ -72,6 +72,8 @@ def transcribe_longform(
     condition_on_previous_text: bool = True,
     decode_text: Optional[Callable[[Sequence[int]], str]] = None,
     seed: int = 0,
+    suppress_tokens: Optional[Sequence[int]] = "default",
+    initial_prompt_tokens: Optional[Sequence[int]] = None,
 ) -> dict:
     """Transcribe one song's encoder states (n_chunks, ctx, d) sequentially.
 
@@ -90,6 +92,17 @@ def transcribe_longform(
     rescue rungs). The beams ride one batched decode like the best_of
     candidates (wealy_tpu.models.whisper.beam).
 
+    ``suppress_tokens``: token ids never sampled. The default sentinel
+    ``"default"`` applies openai-whisper's ``suppress_tokens="-1"`` special
+    set (generate.default_suppress_tokens; pass the tokenizer-extended list
+    for the non-speech symbols too); ``None``/``()`` disables suppression.
+
+    ``initial_prompt_tokens``: openai-whisper's ``initial_prompt`` —
+    pre-seeds the <|startofprev|> context for the FIRST chunk (encode the
+    text with a leading space); it then ages out of the rolling context
+    window like any transcribed text and is dropped on a high-temperature
+    context reset.
+
     Returns dict with:
       - ``chunk_tokens``: list of per-chunk generated token-id lists
         (skipped/no-speech chunks are empty)
@@ -101,8 +114,20 @@ def transcribe_longform(
     n_chunks = audio_states.shape[0]
     base_prompt = default_prompt(config, language=language)
     rng = jax.random.PRNGKey(seed)
+    if isinstance(suppress_tokens, str) and suppress_tokens == "default":
+        from wealy_tpu.models.whisper.generate import default_suppress_tokens
 
-    context: list[int] = []
+        suppress_tokens = default_suppress_tokens(config)
+    suppress_tokens = list(suppress_tokens or ())
+
+    context: list[int] = list(initial_prompt_tokens or ())
+    min_bucket = min(b for b in CTX_BUCKETS if b > 0)
+    if context and len(context) < min_bucket:
+        # context lengths snap DOWN to the bucket set (compile-count bound),
+        # which would silently drop a short initial prompt; cyclic-pad it to
+        # the smallest bucket so the hint survives with static shapes
+        reps = -(-min_bucket // len(context))
+        context = (context * reps)[-min_bucket:]
     chunk_tokens: list[list[int]] = []
     segments: list[dict] = []
 
@@ -152,6 +177,7 @@ def transcribe_longform(
                     prompt=prompt,
                     beam_size=int(beam_size),
                     max_len=total_len,
+                    suppress_tokens=suppress_tokens,
                     xa_kv=xa_kv_t,
                 )
             else:
@@ -162,6 +188,7 @@ def transcribe_longform(
                     config,
                     prompt=prompt,
                     max_len=total_len,
+                    suppress_tokens=suppress_tokens,
                     temperature=float(t),
                     rng=jax.random.fold_in(rng, c * 101 + int(t * 10)),
                     xa_kv=xa_kv_t,

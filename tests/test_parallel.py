@@ -416,6 +416,73 @@ class TestStreamingMesh:
 
 
 @pytest.mark.slow
+class TestResidentRanks:
+    """Device-resident fast path of streaming_relevant_ranks (resident=
+    'auto'): must be BIT-equal to the streamed path — same padded blocks,
+    same per-block math, only the dispatch structure differs."""
+
+    def test_vectors_bit_equal(self, rng):
+        from wealy_tpu.parallel.similarity import streaming_relevant_ranks
+
+        N, C = 57, 8
+        labels = np.arange(N) // 3
+        z = rng.normal(size=(N, C)).astype(np.float32)
+        # duplicated rows across block boundaries: tie ranks must agree
+        z[19] = z[3]
+        z[41] = z[3]
+        args = dict(mode="cossim", block_size=10, query_block=13)
+        r_res, n_res = streaming_relevant_ranks(
+            z, z, labels, labels, resident=True, **args
+        )
+        r_str, n_str = streaming_relevant_ranks(
+            z, z, labels, labels, resident=False, **args
+        )
+        np.testing.assert_array_equal(r_res, r_str)
+        np.testing.assert_array_equal(n_res, n_str)
+
+    def test_chunk_sets_bit_equal(self, rng):
+        from wealy_tpu.parallel.similarity import streaming_relevant_ranks
+
+        S, smax, C = 23, 4, 8
+        labels = np.arange(S) // 2
+        sets = rng.normal(size=(S, smax, C)).astype(np.float32)
+        mask = np.ones((S, smax), bool)
+        mask[5, 2:] = False
+        mask[12, 1:] = False
+        args = dict(
+            mode="cos", redux="bpwr", block_size=6, query_block=9,
+            query_mask=mask, corpus_mask=mask,
+        )
+        r_res, n_res = streaming_relevant_ranks(
+            sets, sets, labels, labels, resident=True, **args
+        )
+        r_str, n_str = streaming_relevant_ranks(
+            sets, sets, labels, labels, resident=False, **args
+        )
+        np.testing.assert_array_equal(r_res, r_str)
+        np.testing.assert_array_equal(n_res, n_str)
+
+    def test_auto_respects_budget(self, rng):
+        """A corpus over the resident budget must take the streamed path
+        (observable via the jit call structure: we just assert identical
+        results under a tiny budget, i.e. the fallback works)."""
+        from wealy_tpu.parallel.similarity import streaming_relevant_ranks
+
+        N, C = 40, 8
+        labels = np.arange(N) // 2
+        z = rng.normal(size=(N, C)).astype(np.float32)
+        r_a, n_a = streaming_relevant_ranks(
+            z, z, labels, labels, mode="cossim", block_size=8,
+            query_block=8, resident="auto", resident_budget_mb=1e-9,
+        )
+        r_b, n_b = streaming_relevant_ranks(
+            z, z, labels, labels, mode="cossim", block_size=8,
+            query_block=8, resident=True,
+        )
+        np.testing.assert_array_equal(r_a, r_b)
+        np.testing.assert_array_equal(n_a, n_b)
+
+
 class TestStreamingBoundedMemory:
     def test_100k_corpus_bounded_rss(self, rng):
         """VERDICT round 1 item 2 'done' criterion: a 100K-song corpus streams
@@ -441,6 +508,7 @@ class TestStreamingBoundedMemory:
             z[:Q], z, labels[:Q], labels, mode="cossim",
             block_size=16384, query_block=16384,
             query_idx=np.arange(Q), corpus_idx=np.arange(N),
+            resident=False,  # this test PROVES the streamed path's bound
         )
         rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         growth_gib = (rss_after - rss_before) / (1024 ** 2)

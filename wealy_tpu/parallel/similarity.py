@@ -168,6 +168,8 @@ def streaming_relevant_ranks(
     query_mask=None,
     corpus_mask=None,
     redux: str = "bpwr",
+    resident="auto",
+    resident_budget_mb: float = 512.0,
 ):
     """Exact ranks of every relevant candidate per query WITHOUT materializing
     the (Q, N) matrix — the corpus-scale MAP/MR1 path (SURVEY.md §7:
@@ -191,6 +193,19 @@ def streaming_relevant_ranks(
     ``max_relevant=None`` (default) sizes R to the largest relevant set —
     no truncation. Passing a cap logs any truncation (see
     :func:`relevant_columns`).
+
+    ``resident`` (single-device only): when the padded corpus fits
+    ``resident_budget_mb``, it is device_put ONCE and both passes run as
+    ``lax.scan`` over its blocks inside ONE jitted dispatch per query slab
+    — numerically identical to the streamed path (same padded blocks, same
+    per-block math), but collapsing the 2 * n_blocks * n_slabs host->device
+    dispatches to n_slabs. Through a remote-TPU tunnel each dispatch costs
+    ~10 ms of host round trip, which DOMINATED corpus-scale chunk-set
+    evaluation (measured 313 s -> see BENCH_NOTES). ``"auto"`` (default)
+    picks residency by the budget; ``False`` forces streaming (bounded-RSS
+    proofs); ``True`` forces residency. Transient per-step memory is the
+    same (qb, b) slab either way; the only addition is the corpus itself
+    living in device memory.
 
     CHUNK SETS: 3-D ``queries``/``corpus`` ((Q, s, C) with (Q, s) True=valid
     ``query_mask``/``corpus_mask``) switch per-pair scoring to chunk-set
@@ -264,6 +279,20 @@ def streaming_relevant_ranks(
     # Pad corpus to whole blocks once; per-block validity handled by n_valid.
     n_blocks = -(-N // block_size)
     b = block_size
+
+    corpus_bytes = n_blocks * b * int(
+        np.prod(corpus.shape[1:], dtype=np.int64)
+    ) * corpus.dtype.itemsize
+    use_resident = mesh is None and (
+        resident is True
+        or (resident == "auto" and corpus_bytes <= resident_budget_mb * 1e6)
+    )
+    if use_resident:
+        return _resident_relevant_ranks(
+            queries, corpus, query_mask, corpus_mask, query_idx, corpus_idx,
+            rel_cols, n_rel, _block_dist, sets, sim_mode,
+            qb=qb, b=b, n_blocks=n_blocks, s1=s1, s2=s2,
+        )
 
     q_shard = data_sharding(mesh, 2) if mesh is not None else None
     qd_shard = data_sharding(mesh, queries.ndim) if mesh is not None else None
@@ -378,6 +407,116 @@ def streaming_relevant_ranks(
 
         slab_ranks = np.asarray(better)[: e0 - s0]
         ranks_out[s0:e0] = np.where(cols_slab[: e0 - s0] >= 0, slab_ranks + 1, 0)
+
+    return ranks_out, n_rel
+
+
+def _resident_relevant_ranks(
+    queries, corpus, query_mask, corpus_mask, query_idx, corpus_idx,
+    rel_cols, n_rel, _block_dist, sets, sim_mode, *,
+    qb, b, n_blocks, s1, s2,
+):
+    """Single-device fast path of :func:`streaming_relevant_ranks`: the
+    padded corpus blocks live stacked on device, and gather + count run as
+    two consecutive ``lax.scan``s inside ONE jitted call per query slab.
+    Block geometry and per-block math are identical to the streamed path,
+    so results are bit-equal (asserted in tests/test_parallel.py)."""
+    Q = queries.shape[0]
+    N = corpus.shape[0]
+    R = rel_cols.shape[1]
+    n_q_slabs = -(-Q // qb)
+
+    # stack the padded corpus once: (n_blocks, b, ...) + per-block metadata
+    y_all = np.zeros((n_blocks, b, *corpus.shape[1:]), corpus.dtype)
+    ym_all = np.zeros((n_blocks, b, s2 if sets else 1), bool)
+    cidx_all = np.full((n_blocks, b), -1, np.int32)
+    starts = (np.arange(n_blocks, dtype=np.int32) * b)
+    n_valids = np.minimum(N - starts, b).astype(np.int32)
+    for blk in range(n_blocks):
+        s, e = blk * b, min(blk * b + b, N)
+        y_all[blk, : e - s] = corpus[s:e]
+        if sets:
+            ym_all[blk, : e - s] = corpus_mask[s:e]
+        else:
+            ym_all[blk] = True
+        cidx_all[blk, : e - s] = corpus_idx[s:e]
+    y_dev = jnp.asarray(y_all)
+    ym_dev = jnp.asarray(ym_all)
+    cidx_dev = jnp.asarray(cidx_all)
+    starts_dev = jnp.asarray(starts)
+    nvalid_dev = jnp.asarray(n_valids)
+
+    # corpus arrays are jit ARGUMENTS (closure constants inline into the
+    # compile request — the HTTP 413 / minutes-long-remote-compile trap)
+    @jax.jit
+    def _slab(q, qm, cols, qidx, y_all, ym_all, cidx_all, starts, n_valids):
+        def gather_body(rel_scores, xs):
+            yblk, ym, start, n_valid = xs
+            d = _block_dist(q, qm, yblk, ym)
+            local = cols - start
+            in_blk = (local >= 0) & (local < n_valid) & (cols >= 0)
+            g = jnp.take_along_axis(
+                d, jnp.clip(local, 0, b - 1).astype(jnp.int32), axis=1
+            )
+            return jnp.where(in_blk, g, rel_scores), None
+
+        rel_scores, _ = jax.lax.scan(
+            gather_body,
+            jnp.zeros((qb, R), jnp.float32),
+            (y_all, ym_all, starts, n_valids),
+        )
+
+        def count_body(better, xs):
+            yblk, ym, cidx_blk, start, n_valid = xs
+            d = _block_dist(q, qm, yblk, ym)
+            colpos = start + jnp.arange(b, dtype=jnp.int32)
+            col_ok = (jnp.arange(b) < n_valid)[None, :] & (
+                cidx_blk[None, :] != qidx[:, None]
+            )
+
+            def one_slot(args):
+                ref, rc = args
+                if sim_mode:
+                    ahead = d > ref[:, None]
+                else:
+                    ahead = d < ref[:, None]
+                tie = (d == ref[:, None]) & (colpos[None, :] < rc[:, None])
+                return ((ahead | tie) & col_ok).sum(axis=1).astype(jnp.int32)
+
+            inc = jax.lax.map(one_slot, (rel_scores.T, cols.T))
+            return better + inc.T, None
+
+        better, _ = jax.lax.scan(
+            count_body,
+            jnp.zeros((qb, R), jnp.int32),
+            (y_all, ym_all, cidx_all, starts, n_valids),
+        )
+        return better
+
+    ranks_out = np.zeros((Q, R), np.int32)
+    for s0 in range(0, n_q_slabs * qb, qb):
+        e0 = min(s0 + qb, Q)
+        q_slab = np.zeros((qb, *queries.shape[1:]), queries.dtype)
+        q_slab[: e0 - s0] = queries[s0:e0]
+        qm_slab = np.zeros((qb, s1 if sets else 1), bool)
+        if sets:
+            qm_slab[: e0 - s0] = query_mask[s0:e0]
+        else:
+            qm_slab[:] = True
+        cols_slab = np.full((qb, R), -1, np.int32)
+        cols_slab[: e0 - s0] = rel_cols[s0:e0]
+        qidx_slab = np.full((qb,), -1, np.int32)
+        qidx_slab[: e0 - s0] = query_idx[s0:e0]
+
+        better = _slab(
+            jnp.asarray(q_slab), jnp.asarray(qm_slab),
+            jnp.asarray(cols_slab), jnp.asarray(qidx_slab),
+            y_dev, ym_dev, cidx_dev, starts_dev, nvalid_dev,
+        )
+        slab_ranks = np.asarray(better)[: e0 - s0]
+        ranks_out[s0:e0] = np.where(
+            cols_slab[: e0 - s0] >= 0, slab_ranks + 1, 0
+        )
 
     return ranks_out, n_rel
 

@@ -171,6 +171,15 @@ def song_distance_matrix_jnp(
     cs = jnp.asarray(cand_sets).reshape(N * s2, C)
     d = pairwise_distance_matrix(qs, cs, mode=mode)  # (Q*s1, N*s2)
     d = d.reshape(Q, s1, N, s2).transpose(0, 2, 1, 3)  # (Q, N, s1, s2)
+    if redux.split("-")[0] == "bpwr" and key is None:
+        # fused VMEM knockout on TPU (XLA identity off-TPU / oversize tiles):
+        # the n-round bpwr loop otherwise re-reads the (Q, N, s1, s2) tensor
+        # from HBM every round — see ops/pallas_redux.py
+        from wealy_tpu.ops.pallas_redux import bpwr_block_redux
+
+        return bpwr_block_redux(
+            d, jnp.asarray(query_mask), jnp.asarray(cand_mask), redux
+        )
     # exclusion mask (ops convention True=excluded): invalid query or cand chunk
     qm = ~jnp.asarray(query_mask)[:, None, :, None]  # (Q, 1, s1, 1)
     cm = ~jnp.asarray(cand_mask)[None, :, None, :]  # (1, N, 1, s2)

@@ -170,6 +170,7 @@ def streaming_relevant_ranks(
     redux: str = "bpwr",
     resident="auto",
     resident_budget_mb: float = 512.0,
+    fused_redux: bool = True,
 ):
     """Exact ranks of every relevant candidate per query WITHOUT materializing
     the (Q, N) matrix — the corpus-scale MAP/MR1 path (SURVEY.md §7:
@@ -229,15 +230,26 @@ def streaming_relevant_ranks(
         assert not mode.endswith("sim"), (
             "chunk-set scoring reduces distances; use a distance mode ('cos')"
         )
+        from wealy_tpu.ops.pallas_redux import bpwr_block_redux
         from wealy_tpu.ops.redux import distance_tensor_redux
 
         s1, s2, Cdim = queries.shape[1], corpus.shape[1], corpus.shape[-1]
+        # single-device only: a pallas_call under a GSPMD-sharded jit would
+        # need shard_map plumbing; the mesh path keeps the XLA redux
+        fused_bpwr = (
+            fused_redux and redux.split("-")[0] == "bpwr" and mesh is None
+        )
 
         def _block_dist(q, qm, y, ym):
             d = pairwise_distance_matrix(
                 q.reshape(-1, Cdim), y.reshape(-1, Cdim), mode=mode
             )
             d = d.reshape(q.shape[0], s1, y.shape[0], s2).transpose(0, 2, 1, 3)
+            if fused_bpwr:
+                # fused VMEM knockout (ops/pallas_redux.py) on TPU; identical
+                # XLA path off-TPU / oversize tiles. Both rank passes go
+                # through THIS function, so tie comparisons stay exact.
+                return bpwr_block_redux(d, qm, ym, redux)
             excl = (~qm)[:, None, :, None] | (~ym)[None, :, None, :]
             return distance_tensor_redux(
                 d, redux, mask=jnp.broadcast_to(excl, d.shape)

@@ -92,6 +92,9 @@ def main() -> int:
         and abs(metrics["fused"]["MR1"] - metrics["xla"]["MR1"]) < 1e-2
     )
     print(json.dumps(out))
+    if not out["map_agree"]:
+        print("FAIL: fused and XLA arms diverge on MAP/MR1", file=sys.stderr)
+        return 1
     return 0
 
 

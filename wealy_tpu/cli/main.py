@@ -672,7 +672,11 @@ def cmd_train(args) -> int:
 
     writer = MetricsWriter(
         log_every=config.train.log_every,
-        jsonl_path=config.train.metrics_jsonl or None,
+        # multi-host: only the primary process persists metrics (two hosts
+        # appending to one JSONL on a shared FS interleave partial lines)
+        jsonl_path=(config.train.metrics_jsonl or None)
+        if jax.process_index() == 0
+        else None,
     )
     state, writer = fit(
         state,
@@ -1435,6 +1439,14 @@ def build_parser() -> argparse.ArgumentParser:
                     "clip before accepting requests")
     sv.add_argument("--quantize", choices=["int8"], default=None,
                     help="int8 resident corpus (2x HBM capacity)")
+    sv.add_argument("--batch-window-ms", type=float, default=10.0,
+                    help="micro-batching collection window: concurrent "
+                    "clients' queries arriving within this window coalesce "
+                    "into one batched device dispatch (0 = immediate "
+                    "per-arrival dispatch). An isolated query pays up to "
+                    "this much extra latency")
+    sv.add_argument("--max-batch", type=int, default=32,
+                    help="cap on queries per micro-batched dispatch")
     sv.set_defaults(fn=cmd_serve)
 
     from wealy_tpu.cli.doctor import cmd_doctor

@@ -162,16 +162,24 @@ def song_distance_matrix_jnp(
     mode: str = "cos",
     redux: str = "bpwr",
     key=None,
+    fused: bool = True,
 ):
     """jnp-pure core of :func:`song_distance_matrix` — safe to call under
-    jit / lax.map (the serving engine's device-resident scorer does)."""
+    jit / lax.map (the serving engine's device-resident scorer does).
+
+    For bpwr reduxes the fused Pallas VMEM knockout is used by default.
+    This assumes single-device jit, shard_map, vmap, or lax.map callers
+    (all verified on-chip); a pallas_call is NOT partitionable under
+    GSPMD ``in_shardings`` — a caller jitting this with sharded inputs
+    must pass ``fused=False`` (mirrors ``streaming_relevant_ranks``'s
+    ``fused_redux`` escape hatch)."""
     Q, s1, C = query_sets.shape
     N, s2, _ = cand_sets.shape
     qs = jnp.asarray(query_sets).reshape(Q * s1, C)
     cs = jnp.asarray(cand_sets).reshape(N * s2, C)
     d = pairwise_distance_matrix(qs, cs, mode=mode)  # (Q*s1, N*s2)
     d = d.reshape(Q, s1, N, s2).transpose(0, 2, 1, 3)  # (Q, N, s1, s2)
-    if redux.split("-")[0] == "bpwr" and key is None:
+    if redux.split("-")[0] == "bpwr" and key is None and fused:
         # fused VMEM knockout on TPU (XLA identity off-TPU / oversize tiles):
         # the n-round bpwr loop otherwise re-reads the (Q, N, s1, s2) tensor
         # from HBM every round — see ops/pallas_redux.py

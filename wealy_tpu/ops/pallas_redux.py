@@ -44,9 +44,11 @@ from jax.experimental import pallas as pl
 _INF = 1e12  # distance_tensor_redux's mask fill (ops/redux.py `inf`)
 _BAKE = 1e13  # exclusion fill; > _INF so the kernel recovers the mask
 _EPS = 1e-7
-# d tile + the f32 knockout-state carry per grid cell; leave room for the
-# input double buffering
-_VMEM_TILE_BUDGET = 2 * 1024 * 1024
+# Live working set per grid cell, budgeted against ~16 MB VMEM with headroom
+# for Mosaic's own scratch: the double-buffered f32 input tile (2x) plus the
+# f32 knockout-state carry `dm` (1x) — ~3 tiles of s1*s2*bp*4 bytes.
+_VMEM_WORKING_SET_BUDGET = 6 * 1024 * 1024
+_TILES_LIVE = 3  # 2x double-buffered input + 1x dm carry
 
 
 def _round_up(n: int, m: int) -> int:
@@ -54,10 +56,11 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _block_p(s1: int, s2: int) -> int:
-    """Pairs per grid cell: largest multiple of 128 whose f32 d-tile stays
-    within the VMEM budget, capped at 512. 0 = does not fit (fall back)."""
-    per_pair = s1 * s2 * 4
-    bp = (_VMEM_TILE_BUDGET // per_pair) // 128 * 128
+    """Pairs per grid cell: largest multiple of 128 whose ~3x-live f32
+    working set stays within the VMEM budget, capped at 512. 0 = does not
+    fit (fall back)."""
+    per_pair = _TILES_LIVE * s1 * s2 * 4
+    bp = (_VMEM_WORKING_SET_BUDGET // per_pair) // 128 * 128
     return min(512, bp)
 
 

@@ -23,8 +23,19 @@ def initialize_multihost(
 
     On TPU pods the arguments are auto-detected from the environment; pass
     them explicitly only for CPU/GPU multi-process testing.
+
+    Must run BEFORE anything touches the XLA backend (jax.devices() etc.)
+    — so the already-initialized probe reads jax.distributed's own client
+    state instead of calling ``jax.process_count()`` (which would
+    initialize the single-process backend and make the real initialize
+    unreachable; caught by the 2-process test, tests/test_multihost.py).
     """
-    already = jax.process_count() > 1
+    try:
+        from jax._src import distributed as _dist
+
+        already = _dist.global_state.client is not None
+    except Exception:  # private-API drift: fall back to re-init guard below
+        already = False
     if not already and (coordinator_address or num_processes):
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

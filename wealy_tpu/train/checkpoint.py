@@ -51,7 +51,13 @@ class CheckpointManager:
         ``data_state`` (JSON-able; e.g. ``{"epoch": e, "next_batch": b}``
         from the seekable sampler stream) is written as a sidecar so a
         resumed run continues the exact data order of the uninterrupted
-        one."""
+        one.
+
+        Multi-host: call from EVERY process (the orbax save is a
+        collective — orbax coordinates so array data is written once); the
+        JSON sidecar is written by the primary host only (two hosts
+        replacing the same tmp path on a shared checkpoint FS would race).
+        """
         payload = {
             "step": int(state.step),
             "params": state.params,
@@ -60,7 +66,7 @@ class CheckpointManager:
         if state.batch_stats is not None:
             payload["batch_stats"] = state.batch_stats
         self.save(int(state.step), payload)
-        if data_state is not None:
+        if data_state is not None and jax.process_index() == 0:
             import json
 
             p = self.directory / f"data_state_{int(state.step)}.json"

@@ -1000,3 +1000,140 @@ def test_int8_engine_init_memory_bounded(tmp_path):
     # XLA arena/baseline. The guard catches the naive full-f32 quantize
     # (a +4 GB temp -> >9.5 GB) and any return of the padded-f16 copy
     assert probe["maxrss_mb"] < 6500, probe
+
+
+class TestMicroBatcher:
+    """Unit tests for the daemon's bounded-delay query collector."""
+
+    def _make(self, calls, window_s=0.02, max_batch=32, fail=False):
+        from wealy_tpu.cli.serve import MicroBatcher
+
+        def dispatch(seqs, opts):
+            calls.append((list(seqs), opts))
+            if fail:
+                raise RuntimeError("boom")
+            return [f"r{s}" for s in seqs]
+
+        return MicroBatcher(dispatch, window_s=window_s, max_batch=max_batch)
+
+    def test_coalesces_concurrent_submits(self):
+        import threading
+
+        calls = []
+        b = self._make(calls, window_s=0.05)
+        outs = [None] * 6
+        # hold the collector busy-free: submit 6 items from 6 threads
+        # within one window -> they should coalesce into ONE dispatch
+        ts = [
+            threading.Thread(
+                target=lambda i=i: outs.__setitem__(
+                    i, b.submit_many([i], ("k",))[0]
+                )
+            )
+            for i in range(6)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert outs == [f"r{i}" for i in range(6)]
+        assert len(calls) <= 2  # coalesced (1 typical; 2 if scheduler split)
+        assert sum(len(c[0]) for c in calls) == 6
+        b.close()
+
+    def test_groups_by_opts(self):
+        import threading
+
+        calls = []
+        b = self._make(calls, window_s=0.05)
+        outs = {}
+
+        def go(i, opts):
+            outs[i] = b.submit_many([i], opts)[0]
+
+        ts = [threading.Thread(target=go, args=(i, ("a",) if i % 2 else ("b",)))
+              for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert outs == {i: f"r{i}" for i in range(4)}
+        # every dispatch is option-uniform
+        for seqs, opts in calls:
+            assert opts in (("a",), ("b",))
+        b.close()
+
+    def test_error_propagates_to_every_waiter(self):
+        calls = []
+        b = self._make(calls, fail=True, window_s=0.01)
+        with pytest.raises(RuntimeError, match="boom"):
+            b.submit_many([1, 2], ("k",))
+        # the batcher survives a failed dispatch
+        b._dispatch = lambda seqs, opts: [f"ok{s}" for s in seqs]
+        assert b.submit_many([3], ("k",)) == ["ok3"]
+        b.close()
+
+    def test_max_batch_splits(self):
+        calls = []
+        b = self._make(calls, window_s=0.02, max_batch=3)
+        assert b.submit_many(list(range(7)), ("k",)) == [
+            f"r{i}" for i in range(7)
+        ]
+        assert all(len(c[0]) <= 3 for c in calls)
+        b.close()
+
+
+def test_serve_daemon_concurrent_clients(serve_project, tmp_path):
+    """8 independent HTTP clients in parallel: all answered correctly via
+    micro-batched dispatch (round-4 VERDICT #4 — clients used to serialize
+    one-by-one on the search lock)."""
+    import os
+    import subprocess
+    import sys as _sys
+    import threading
+    import urllib.request
+
+    tmp_root, cpath, store = serve_project
+    idx = tmp_root / "serve" / "test.npz"
+    assert main(["index", "--config", str(cpath), "--split", "test",
+                 "--out", str(idx)]) == 0
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "wealy_tpu.cli.main", "serve",
+         "--config", str(cpath), "--index", str(idx), "--port", "0",
+         "--batch-window-ms", "25"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env,
+    )
+    try:
+        url = json.loads(proc.stdout.readline())["serving"]
+        keys = ["400", "401", "500", "501"] * 2
+        results = [None] * len(keys)
+
+        def client(i, key):
+            with np.load(store.path(key, "hs_last_seq.npz")) as d:
+                seq = d["embeddings"].tolist()
+            req = urllib.request.Request(
+                f"{url}/query",
+                data=json.dumps({"embeddings": seq, "k": 1}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            results[i] = json.loads(
+                urllib.request.urlopen(req, timeout=180).read()
+            )
+
+        # warm one query first so the 8-way burst rides the compiled path
+        client(0, keys[0])
+        ts = [threading.Thread(target=client, args=(i, k))
+              for i, k in enumerate(keys)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        for key, res in zip(keys, results):
+            assert res is not None and "results" in res, res
+            assert res["results"][0]["version_key"] == key, (key, res)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

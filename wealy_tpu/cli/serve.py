@@ -1091,6 +1091,107 @@ def cmd_query(args) -> int:
     return 0
 
 
+class MicroBatcher:
+    """Bounded-delay query collector: concurrent in-flight queries coalesce
+    into ONE batched ``search_many`` device dispatch.
+
+    Independent HTTP clients at Q=1 each used to serialize on the daemon's
+    search lock — the measured 7x batched-dispatch win (BENCH_NOTES
+    ``bench_serve`` Q=16) was reachable only by a client that composed its
+    own batch. This collector composes it daemon-side: the first arriving
+    query opens a ``window_s`` collection window (new arrivals wake the
+    collector; ``max_batch`` caps a burst), then everything pending goes to
+    the device as one batch. Queries with different (k, pooled, rerank)
+    options are grouped and dispatched back-to-back within the batch.
+
+    The cost is the window itself: an isolated query waits up to
+    ``window_s`` before dispatch (the idle-latency floor measured in
+    ``bench_serve_concurrent``). ``window_s=0`` disables collection
+    (immediate per-query dispatch under the same serialization).
+    """
+
+    def __init__(self, dispatch, window_s: float = 0.010, max_batch: int = 32):
+        import threading
+
+        self._dispatch = dispatch  # (seqs, opts) -> list[result]
+        self.window_s = float(window_s)
+        self.max_batch = int(max_batch)
+        self._cv = threading.Condition()
+        self._pending: list = []
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._run, name="microbatch-collector", daemon=True
+        )
+        self._thread.start()
+
+    class _Item:
+        __slots__ = ("seq", "opts", "done", "result", "error")
+
+        def __init__(self, seq, opts):
+            import threading
+
+            self.seq = seq
+            self.opts = opts
+            self.done = threading.Event()
+            self.result = None
+            self.error = None
+
+    def submit_many(self, seqs, opts) -> list:
+        """Enqueue ``seqs`` (one logical client request) and block until all
+        are answered; re-raises the dispatch error if the batch failed."""
+        items = [self._Item(s, opts) for s in seqs]
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher closed")
+            self._pending.extend(items)
+            self._cv.notify_all()
+        outs = []
+        for it in items:
+            it.done.wait()
+            if it.error is not None:
+                raise it.error
+            outs.append(it.result)
+        return outs
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+    def _run(self) -> None:
+        import time as _time
+
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._pending:
+                    return
+                deadline = _time.monotonic() + self.window_s
+                while len(self._pending) < self.max_batch and not self._closed:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                batch = self._pending[: self.max_batch]
+                del self._pending[: len(batch)]
+            # dispatch OUTSIDE the condition so new arrivals keep queueing
+            groups: dict = {}
+            for it in batch:
+                groups.setdefault(it.opts, []).append(it)
+            for opts, items in groups.items():
+                try:
+                    outs = self._dispatch([it.seq for it in items], opts)
+                    for it, o in zip(items, outs):
+                        it.result = o
+                except Exception as e:  # noqa: BLE001 — daemon must not die
+                    for it in items:
+                        it.error = e
+                finally:
+                    for it in items:
+                        it.done.set()
+
+
 def cmd_serve(args) -> int:
     """Persistent local search daemon: the model, head, and index load ONCE
     and every query reuses the compiled path (a cold `query` invocation pays
@@ -1108,6 +1209,11 @@ def cmd_serve(args) -> int:
       under the search lock (pair with ``index --update`` for live corpus
       growth without a daemon restart; the compiled audio-embed fn carries
       over, and queries in flight finish against the old corpus).
+
+    Concurrent clients are micro-batched: queries arriving within
+    ``--batch-window-ms`` (default 10 ms) coalesce into ONE batched
+    ``search_many`` device dispatch instead of serializing one-by-one on
+    the search lock (see :class:`MicroBatcher`).
     """
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -1164,8 +1270,7 @@ def cmd_serve(args) -> int:
             if self.path != "/query":
                 return self._send(404, {"error": "unknown path"})
             try:
-                with search_lock:
-                    return self._answer_query()
+                return self._answer_query()
             except Exception as e:  # noqa: BLE001 — daemon must not die
                 return self._send(400, {"error": str(e)})
 
@@ -1248,11 +1353,16 @@ def cmd_serve(args) -> int:
                     else:
                         raise ValueError("need 'audio_path' or 'embeddings'")
                     seqs.append(seq)
-                outs = engine.search_many(
-                    seqs, k=int(req.get("k", args.k)),
-                    pooled=bool(req.get("pooled", args.pooled)),
-                    rerank=int(req.get("rerank", args.rerank)),
+                # score through the micro-batcher: concurrent clients'
+                # queries coalesce into one device dispatch; the dispatch
+                # itself serializes on search_lock (one device, one jit
+                # state), audio embedding above runs outside it
+                opts = (
+                    int(req.get("k", args.k)),
+                    bool(req.get("pooled", args.pooled)),
+                    int(req.get("rerank", args.rerank)),
                 )
+                outs = batcher.submit_many(seqs, opts)
                 out = outs[0] if single else {"batch": outs}
             except Exception as e:  # noqa: BLE001 — daemon must not die
                 return self._send(400, {"error": str(e)})
@@ -1281,6 +1391,19 @@ def cmd_serve(args) -> int:
     # threaded accept loop so /healthz answers while a long query runs;
     # searches themselves serialize on one lock (one device, one jit state)
     search_lock = threading.Lock()
+
+    def _batched_dispatch(seqs, opts):
+        k, pooled, rerank = opts
+        with search_lock:
+            return state["engine"].search_many(
+                seqs, k=k, pooled=pooled, rerank=rerank
+            )
+
+    batcher = MicroBatcher(
+        _batched_dispatch,
+        window_s=max(0.0, getattr(args, "batch_window_ms", 10.0) / 1000.0),
+        max_batch=max(1, getattr(args, "max_batch", 32)),
+    )
     srv = ThreadingHTTPServer((args.host, args.port), Handler)
     print(json.dumps({
         "serving": f"http://{args.host}:{srv.server_address[1]}",

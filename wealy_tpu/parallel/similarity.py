@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -170,7 +171,7 @@ def streaming_relevant_ranks(
     redux: str = "bpwr",
     resident="auto",
     resident_budget_mb: float = 512.0,
-    fused_redux: bool = True,
+    fused_redux: Optional[bool] = None,
 ):
     """Exact ranks of every relevant candidate per query WITHOUT materializing
     the (Q, N) matrix — the corpus-scale MAP/MR1 path (SURVEY.md §7:
@@ -234,6 +235,10 @@ def streaming_relevant_ranks(
         from wealy_tpu.ops.redux import distance_tensor_redux
 
         s1, s2, Cdim = queries.shape[1], corpus.shape[1], corpus.shape[-1]
+        if fused_redux is None:
+            # default ON; WEALY_FUSED_REDUX=0 is the A/B escape hatch
+            # (measured 1.16x at N=8192 ranking scale — BENCH_NOTES round 5)
+            fused_redux = os.environ.get("WEALY_FUSED_REDUX", "1") != "0"
         # single-device only: a pallas_call under a GSPMD-sharded jit would
         # need shard_map plumbing; the mesh path keeps the XLA redux
         fused_bpwr = (

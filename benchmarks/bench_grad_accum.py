@@ -10,7 +10,13 @@ metric-loss semantics while holding activations for one B/grad_accum chunk
 grad_accum), and whether the single-pass arm OOMs where the chunked one
 fits.
 
-    python benchmarks/bench_grad_accum.py [B,B,...] [accum,accum,...]
+    python benchmarks/bench_grad_accum.py [B,B,...] [accum,accum,...] [T] [hidden,...]
+
+``T`` (chunk length, default 1000) and ``hidden`` (head widths, default
+512,512) parameterize the CAPACITY probe (round-4 VERDICT #6): longer
+chunk windows / deeper heads push activation residency past what XLA's
+own rematerialization absorbs, so the reachable-B boundary of the
+single-pass arm vs the accum arm becomes measurable on one chip.
 """
 
 import json
@@ -29,7 +35,7 @@ from wealy_tpu.models.heads import ProjectionHead
 from wealy_tpu.train import create_train_state, make_train_step
 from wealy_tpu.train.state import make_optimizer
 
-T, C = 1000, 1280  # hs_last_seq window geometry (chunk_size x whisper dim)
+C = 1280  # whisper hs_last_seq dim
 
 
 def peak_mb() -> float:
@@ -37,8 +43,9 @@ def peak_mb() -> float:
     return stats.get("peak_bytes_in_use", 0) / 1e6
 
 
-def run(B: int, accum: int, iters: int = 6) -> dict:
-    model = ProjectionHead(zdim=512, hidden=(512, 512), dtype=jnp.bfloat16)
+def run(B: int, accum: int, iters: int = 6, T: int = 1000,
+        hidden=(512, 512)) -> dict:
+    model = ProjectionHead(zdim=512, hidden=tuple(hidden), dtype=jnp.bfloat16)
     state = create_train_state(
         model,
         (jnp.zeros((2, T, C), jnp.bfloat16), jnp.ones((2, T), bool)),
@@ -72,6 +79,8 @@ def run(B: int, accum: int, iters: int = 6) -> dict:
     dt = (time.perf_counter() - t0) / iters
     return {
         "B": B,
+        "T": T,
+        "hidden": list(hidden),
         "grad_accum": accum,
         "ms_per_step": round(dt * 1e3, 1),
         "songs_per_s": round(B / dt, 1),
@@ -79,17 +88,19 @@ def run(B: int, accum: int, iters: int = 6) -> dict:
     }
 
 
-def main(batches, accums):
+def main(batches, accums, T=1000, hidden=(512, 512)):
     for B in batches:
         for accum in accums:
             if B % accum:
                 continue
             try:
-                print(json.dumps(run(B, accum)), flush=True)
+                print(json.dumps(run(B, accum, T=T, hidden=hidden)),
+                      flush=True)
             except Exception as e:  # XlaRuntimeError: RESOURCE_EXHAUSTED
                 msg = str(e).splitlines()[0][:140]
                 print(json.dumps({
-                    "B": B, "grad_accum": accum, "oom_or_error": msg,
+                    "B": B, "T": T, "hidden": list(hidden),
+                    "grad_accum": accum, "oom_or_error": msg,
                 }), flush=True)
 
 
@@ -102,4 +113,9 @@ if __name__ == "__main__":
         tuple(int(a) for a in sys.argv[2].split(","))
         if len(sys.argv) > 2 else (1, 8)
     )
-    main(bs, acc)
+    T_ = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+    hid = (
+        tuple(int(h) for h in sys.argv[4].split(","))
+        if len(sys.argv) > 4 else (512, 512)
+    )
+    main(bs, acc, T=T_, hidden=hid)

@@ -35,11 +35,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from benchmarks.bench_serve import build_index  # noqa: E402
 
 
-def _start_daemon(cpath, idx, window_ms: float):
+def _start_daemon(cpath, idx, window_ms: float, max_batch: int = 32):
     proc = subprocess.Popen(
         [sys.executable, "-m", "wealy_tpu.cli.main", "serve",
          "--config", str(cpath), "--index", str(idx), "--port", "0",
-         "--batch-window-ms", str(window_ms)],
+         "--batch-window-ms", str(window_ms), "--max-batch", str(max_batch)],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
     )
     url = json.loads(proc.stdout.readline())["serving"]
@@ -50,6 +50,18 @@ def _query(url, seq, k=10, timeout=600):
     req = urllib.request.Request(
         f"{url}/query",
         data=json.dumps({"embeddings": seq, "k": k}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return json.loads(urllib.request.urlopen(req, timeout=timeout).read())
+
+
+def _query_batch(url, seqs, q, k=10, timeout=600):
+    req = urllib.request.Request(
+        f"{url}/query",
+        data=json.dumps({
+            "batch": [{"embeddings": seqs[i % len(seqs)]} for i in range(q)],
+            "k": k,
+        }).encode(),
         headers={"Content-Type": "application/json"},
     )
     return json.loads(urllib.request.urlopen(req, timeout=timeout).read())
@@ -103,10 +115,18 @@ def main() -> int:
 
         out = {"corpus": n_songs, "clients": clients, "rounds": rounds,
                "window_ms": window_ms}
-        for arm, w in (("serialized", 0.0), ("microbatched", window_ms)):
-            proc, url = _start_daemon(cpath, idx, w)
+        # serialized arm = max_batch 1 (the pre-microbatcher behavior:
+        # one query per locked dispatch); window=0 alone still coalesces
+        # whatever queued during the previous dispatch
+        for arm, w, mb in (("serialized", 0.0, 1),
+                           ("microbatched", window_ms, 32)):
+            proc, url = _start_daemon(cpath, idx, w, mb)
             try:
-                _query(url, seqs[0])  # warm/compile
+                # warm every Qp pad bucket the batched arm can hit
+                # (search_many pads Q to {1, 4, 8, ...}: a cold shape mid-
+                # run would charge a remote compile to the throughput arm)
+                for q in ({1} if mb == 1 else {1, 4, 8, 12, 16, 20, 24, 32}):
+                    _query_batch(url, seqs, min(q, len(seqs)))
                 out[f"{arm}_qps"] = round(
                     _run_arm(url, seqs, clients, rounds), 1
                 )
@@ -119,6 +139,13 @@ def main() -> int:
                 out[f"{arm}_idle_ms_median"] = round(
                     1e3 * sorted(ts)[len(ts) // 2], 1
                 )
+                h = json.loads(urllib.request.urlopen(
+                    f"{url}/healthz", timeout=30).read())
+                st = h.get("batch_stats", {})
+                if st.get("dispatches"):
+                    out[f"{arm}_mean_batch"] = round(
+                        st["queries"] / st["dispatches"], 2
+                    )
             finally:
                 proc.terminate()
                 proc.wait(timeout=30)

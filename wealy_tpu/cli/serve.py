@@ -1119,6 +1119,10 @@ class MicroBatcher:
         self._cv = threading.Condition()
         self._pending: list = []
         self._closed = False
+        # observability: dispatch count + query count -> mean batch size
+        # (surfaced in /healthz as "batch_stats")
+        self.n_dispatches = 0
+        self.n_queries = 0
         self._thread = threading.Thread(
             target=self._run, name="microbatch-collector", daemon=True
         )
@@ -1180,6 +1184,8 @@ class MicroBatcher:
             for it in batch:
                 groups.setdefault(it.opts, []).append(it)
             for opts, items in groups.items():
+                self.n_dispatches += 1
+                self.n_queries += len(items)
                 try:
                     outs = self._dispatch([it.seq for it in items], opts)
                     for it, o in zip(items, outs):
@@ -1262,6 +1268,10 @@ def cmd_serve(args) -> int:
                 "split": eng.meta["split"],
                 "checkpoint_step": eng.checkpoint_step,
                 "exact_sets": eng._has_sets,
+                "batch_stats": {
+                    "dispatches": batcher.n_dispatches,
+                    "queries": batcher.n_queries,
+                },
             })
 
         def do_POST(self):

@@ -53,6 +53,39 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(scope="session")
+def tiny_decode_model():
+    """Shared tiny Whisper (1 enc / 2 dec layers, width 32, full vocab) for
+    the decode-path suites (beam, longform). ONE init + identical params
+    across modules, so jitted decode traces of the same shapes are reused
+    instead of re-traced per module (the ROADMAP suite-wall-time fix).
+    Returns (model, params, cfg); encoder-state fixtures stay per-module
+    (they differ in batch size)."""
+    import jax.numpy as jnp
+
+    from wealy_tpu.models.whisper.config import WhisperConfig
+    from wealy_tpu.models.whisper.model import Whisper
+
+    cfg = WhisperConfig(
+        n_mels=8,
+        n_audio_ctx=16,
+        n_audio_state=32,
+        n_audio_head=2,
+        n_audio_layer=1,
+        n_vocab=51865,
+        n_text_ctx=64,
+        n_text_state=32,
+        n_text_head=2,
+        n_text_layer=2,
+    )
+    model = Whisper(cfg, dtype=jnp.float32)
+    mel0 = jnp.zeros((1, cfg.n_mels, 32), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(3), mel0, jnp.zeros((1, 4), jnp.int32)
+    )["params"]
+    return model, params, cfg
+
+
 if os.environ.get("WEALY_RSS_LOG"):
     # Peak-RSS bisection aid: append "peak_mb test_id" after every test so a
     # jump identifies which test drove the pytest process's high-water mark

@@ -13,30 +13,15 @@ import jax
 import jax.numpy as jnp
 
 from wealy_tpu.models.whisper.beam import beam_decode, rank_beams
-from wealy_tpu.models.whisper.config import WhisperConfig
 from wealy_tpu.models.whisper.generate import default_prompt, greedy_decode
 from wealy_tpu.models.whisper.model import Whisper
 
 
 @pytest.fixture(scope="module")
-def tiny_model():
-    cfg = WhisperConfig(
-        n_mels=8,
-        n_audio_ctx=16,
-        n_audio_state=32,
-        n_audio_head=2,
-        n_audio_layer=1,
-        n_vocab=51865,
-        n_text_ctx=64,
-        n_text_state=32,
-        n_text_head=2,
-        n_text_layer=2,
-    )
-    model = Whisper(cfg, dtype=jnp.float32)
-    mel0 = jnp.zeros((1, cfg.n_mels, 32), jnp.float32)
-    params = model.init(
-        jax.random.PRNGKey(3), mel0, jnp.zeros((1, 4), jnp.int32)
-    )["params"]
+def tiny_model(tiny_decode_model):
+    # model/params/cfg shared session-wide (tests/conftest.py): identical
+    # params across modules => decode jit traces are reused, not re-traced
+    model, params, cfg = tiny_decode_model
     rng = np.random.default_rng(0)
     states = jnp.asarray(
         rng.normal(size=(2, cfg.n_audio_ctx, cfg.n_audio_state)).astype(

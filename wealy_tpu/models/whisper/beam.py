@@ -17,9 +17,15 @@ package — NOT part of /root/reference, which ships no decoding code):
   to an eot-only continuation at zero cost (their cumulative score freezes),
   candidates score as ``sum_logprob[b,k] + logp[b,k,v]`` and the top-K of
   the ``(K*V)`` flat candidates per batch element are kept via
-  ``lax.top_k``. Token / hidden / KV-cache state then gathers along the beam
-  axis (``jnp.take`` of the flat ``(B*K)`` index) — the standard
-  beam-reorder, one contiguous HBM gather per array per step.
+  ``lax.top_k``. The KV caches then gather along the beam axis (``jnp.take``
+  of the flat ``(B*K)`` index) — the standard beam-reorder.
+- Token and hidden-state buffers are NOT physically reordered (round-4
+  BENCH_NOTES measured the per-step reorder traffic scaling with Tmax —
+  8.8x greedy at max_len=224 vs the ideal 5x at K=5). Instead each step
+  records its per-slot ancestry (``src_trace``) and chosen token
+  (``tok_trace``), hidden states are written in pre-reorder slot order,
+  and ONE reverse-scan backtrack after the loop reconstructs every beam's
+  token/hidden path — turning max_len full-buffer gathers into one.
 - Ranking matches openai-whisper's MaximumLikelihoodRanker: cumulative
   log-prob divided by generated length (``length_penalty=None``) or by the
   GPT-style penalty ``((5 + n) / 6) ** length_penalty``.
@@ -171,9 +177,22 @@ def beam_decode(
         xa_kv = [(_tile(k), _tile(v)) for k, v in xa_kv]
     audio_bk = _tile(audio_states)
 
-    tokens = jnp.full((BK, max_len), eot, dtype=jnp.int32)
-    tokens = tokens.at[:, :P].set(prompt_arr[None])
-    tokens = tokens.at[:, P].set(tok0.reshape(BK))
+    # trace+backtrack state: tokens/hidden are reconstructed AFTER the loop
+    # from per-step ancestry instead of being gathered every step.
+    # tok_trace[j] = token at position j per (batch, slot); src_trace[j] =
+    # the slot each position-j slot descended from (identity beyond the
+    # last executed step, so backtracking through early-exit padding is a
+    # no-op and the padded eot rows read through unchanged).
+    ident = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None], (B, K)
+    )
+    tok_trace = jnp.full((max_len, B, K), eot, dtype=jnp.int32)
+    tok_trace = tok_trace.at[:P].set(
+        jnp.broadcast_to(prompt_arr[:, None, None], (P, B, K))
+    )
+    tok_trace = tok_trace.at[P].set(tok0)
+    src_trace = jnp.broadcast_to(ident[None], (max_len, B, K))
+    cur_tok = tok0.reshape(BK, 1)
     hidden_buf = jnp.zeros((BK, max_len, config.n_text_state), model.dtype)
     hidden_buf = lax.dynamic_update_slice(
         hidden_buf, _tile(hid.astype(model.dtype)), (0, 0, 0)
@@ -184,21 +203,24 @@ def beam_decode(
     neg_inf = jnp.float32(-jnp.inf)
 
     def cond(state):
-        i, _, _, _, finished, _ = state
+        i = state[0]
+        finished = state[5]
         return (i < max_len - 1) & jnp.logical_not(jnp.all(finished))
 
     def body(state):
-        i, tokens, hidden_buf, caches, finished, sum_logprob = state
-        tok = lax.dynamic_slice(tokens, (0, i), (BK, 1))
+        (i, cur_tok, hidden_buf, caches, tok_trace, finished, sum_logprob,
+         src_trace) = state
         hid, logits, caches = model.apply(
             {"params": params},
-            tok,
+            cur_tok,
             audio_bk,
             kv_caches=caches,
             cache_index=i,
             xa_kv=xa_kv,
             method=Whisper.decode,
         )
+        # written in PRE-reorder slot order; the backtrack resolves which
+        # slot held each position of the winning path
         hidden_buf = lax.dynamic_update_slice(
             hidden_buf, hid.astype(model.dtype), (0, i, 0)
         )
@@ -214,26 +236,51 @@ def beam_decode(
         cand = sum_logprob.reshape(BK, 1) + logp          # (BK, V)
         cand = cand.reshape(B, K * V)
         new_sum, flat_idx = lax.top_k(cand, K)            # (B, K)
-        src_beam = flat_idx // V                          # (B, K) in [0, K)
+        src_beam = (flat_idx // V).astype(jnp.int32)      # (B, K) in [0, K)
         new_tok = (flat_idx % V).astype(jnp.int32)        # (B, K)
 
-        # beam reorder: gather every per-beam array along the flat beam axis
+        # beam reorder: only the KV caches (attention must read the full
+        # surviving prefix per slot) and the tiny per-beam scalars gather;
+        # token/hidden history is reconstructed from the traces afterwards
         src = (batch_base + src_beam).reshape(BK)         # (BK,) int32
-        tokens = jnp.take(tokens, src, axis=0)
-        hidden_buf = jnp.take(hidden_buf, src, axis=0)
         caches = [
             (jnp.take(k, src, axis=0), jnp.take(v, src, axis=0))
             for k, v in caches
         ]
         finished = jnp.take(finished.reshape(BK), src).reshape(B, K)
         finished = finished | (new_tok == eot)
-        tokens = lax.dynamic_update_slice(
-            tokens, new_tok.reshape(BK, 1), (0, i + 1)
+        tok_trace = lax.dynamic_update_slice(
+            tok_trace, new_tok[None], (i + 1, 0, 0)
         )
-        return (i + 1, tokens, hidden_buf, caches, finished, new_sum)
+        src_trace = lax.dynamic_update_slice(
+            src_trace, src_beam[None], (i + 1, 0, 0)
+        )
+        return (i + 1, new_tok.reshape(BK, 1), hidden_buf, caches,
+                tok_trace, finished, new_sum, src_trace)
 
-    state = (jnp.int32(P), tokens, hidden_buf, caches, finished, sum_logprob)
-    _, tokens, hidden_buf, _, _, sum_logprob = lax.while_loop(cond, body, state)
+    state = (jnp.int32(P), cur_tok, hidden_buf, caches, tok_trace, finished,
+             sum_logprob, src_trace)
+    (_, _, hidden_buf, _, tok_trace, _, sum_logprob, src_trace) = (
+        lax.while_loop(cond, body, state)
+    )
+
+    # ---- backtrack: ancestry -> per-beam token/hidden paths ---------------
+    # One reverse scan over positions replaces the per-step full-buffer
+    # gathers: anc[j] = the slot that held position j of each FINAL beam.
+    def back(a, xs):
+        tok_j, src_j = xs                                  # (B, K) rows
+        tok = jnp.take_along_axis(tok_j, a, axis=1)        # token at j
+        a_prev = jnp.take_along_axis(src_j, a, axis=1)     # ancestor for <j
+        return a_prev, (tok, a)
+
+    _, (toks_rev, anc_rev) = lax.scan(
+        back, ident, (tok_trace[::-1], src_trace[::-1])
+    )
+    tokens = toks_rev[::-1].transpose(1, 2, 0).reshape(BK, max_len)
+    anc = anc_rev[::-1].transpose(1, 2, 0)                 # (B, K, max_len)
+    hidden_buf = jnp.take_along_axis(
+        hidden_buf.reshape(B, K, max_len, -1), anc[..., None], axis=1
+    ).reshape(BK, max_len, -1)
 
     # per-beam lengths (prompt + generated before the first eot)
     pos = jnp.arange(max_len)[None, :]

@@ -32,7 +32,7 @@ REF_SPLITS = Path("/root/reference/datasets/shs")
 
 
 def build_corpus(workdir: Path, dim: int, noise: float, train_cliques: int,
-                 seed: int = 0) -> dict:
+                 seed: int = 0, train_only: bool = False) -> dict:
     """Synthesize shs_data.csv + hs_last_seq.npz store for the real splits."""
     import pandas as pd
 
@@ -64,7 +64,8 @@ def build_corpus(workdir: Path, dim: int, noise: float, train_cliques: int,
     store = EmbeddingStore(workdir / "hs", "shs")
     centers: dict[int, np.ndarray] = {}
     n_written = 0
-    for _, row in all_rows.iterrows():
+    emb_rows = splits["train"] if train_only else all_rows
+    for _, row in emb_rows.iterrows():
         c = int(row["set_id"])
         if c not in centers:
             centers[c] = rng.normal(size=(dim,)).astype(np.float32)
@@ -102,12 +103,17 @@ def main(argv=None) -> int:
                    help="pack embeddings into the mmap store before training")
     p.add_argument("--overlap", type=float, default=None,
                    help="test-time window overlap (default config 0.9)")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--train-only", action="store_true",
+                   help="skip evaluate (and val/test embedding synthesis): "
+                   "the CLI-train throughput arm")
     args = p.parse_args(argv)
 
     workdir = Path(args.workdir) if args.workdir else Path(tempfile.mkdtemp(prefix="wealy_e2e_"))
     workdir.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
-    info = build_corpus(workdir, args.dim, args.noise, args.train_cliques)
+    info = build_corpus(workdir, args.dim, args.noise, args.train_cliques,
+                        train_only=args.train_only)
     t_corpus = time.perf_counter() - t0
 
     conf = {
@@ -127,7 +133,7 @@ def main(argv=None) -> int:
         },
         "model": {"name": "whisper", "zdim": 64},
         "train": {
-            "loss": "clews", "batch_size": 32, "lr": 1e-3,
+            "loss": "clews", "batch_size": args.batch_size, "lr": 1e-3,
             "warmup_steps": 20, "max_steps": args.steps, "log_every": 0,
             "checkpoint_every": 10_000, "eval_every": 10_000,
         },
@@ -156,6 +162,22 @@ def main(argv=None) -> int:
     assert rc == 0, buf.getvalue()[-2000:]
     t_train = time.perf_counter() - t0
     train_out = json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    if args.train_only:
+        print(json.dumps({
+            "corpus": {"n_versions": info["n_versions"],
+                       "dim": args.dim, "train_cliques": args.train_cliques,
+                       "build_s": round(t_corpus, 1)},
+            "train": {"steps": train_out.get("final_step"),
+                      "final_loss": train_out.get("final_loss"),
+                      "batch_size": args.batch_size,
+                      "wall_s": round(t_train, 1), "pack_s": t_pack,
+                      "steps_per_s": round(
+                          (train_out.get("final_step") or 0) / t_train, 3)},
+        }))
+        if not args.keep and args.workdir is None:
+            shutil.rmtree(workdir, ignore_errors=True)
+        return 0
 
     t0 = time.perf_counter()
     buf = io.StringIO()

@@ -32,7 +32,8 @@ REF_SPLITS = Path("/root/reference/datasets/shs")
 
 
 def build_corpus(workdir: Path, dim: int, noise: float, train_cliques: int,
-                 seed: int = 0, train_only: bool = False) -> dict:
+                 seed: int = 0, train_only: bool = False,
+                 seq_frames: tuple = (40, 120)) -> dict:
     """Synthesize shs_data.csv + hs_last_seq.npz store for the real splits."""
     import pandas as pd
 
@@ -69,7 +70,7 @@ def build_corpus(workdir: Path, dim: int, noise: float, train_cliques: int,
         c = int(row["set_id"])
         if c not in centers:
             centers[c] = rng.normal(size=(dim,)).astype(np.float32)
-        T = int(rng.integers(40, 120))
+        T = int(rng.integers(seq_frames[0], seq_frames[1]))
         emb = (
             centers[c][None]
             + noise * rng.normal(size=(T, dim)).astype(np.float32)
@@ -107,13 +108,36 @@ def main(argv=None) -> int:
     p.add_argument("--train-only", action="store_true",
                    help="skip evaluate (and val/test embedding synthesis): "
                    "the CLI-train throughput arm")
+    p.add_argument("--reuse", action="store_true",
+                   help="reuse an existing --workdir corpus (and packed "
+                   "store, if present) instead of rebuilding — lets A/B "
+                   "train arms share one corpus")
+    p.add_argument("--log-every", type=int, default=0,
+                   help="train.log_every (1 = per-step drain: live "
+                   "metrics.jsonl records with write-time stamps)")
+    p.add_argument("--seq-frames", default="40,120",
+                   help="LO,HI frame-count range for synthetic version "
+                   "lengths (production hs_last_seq trains on 1000-frame "
+                   "chunks: use e.g. 1050,1400 with --dim 1280)")
     args = p.parse_args(argv)
+    seq_frames = tuple(int(x) for x in args.seq_frames.split(","))
 
     workdir = Path(args.workdir) if args.workdir else Path(tempfile.mkdtemp(prefix="wealy_e2e_"))
     workdir.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
-    info = build_corpus(workdir, args.dim, args.noise, args.train_cliques,
-                        train_only=args.train_only)
+    if args.reuse and (workdir / "shs" / "shs_data.csv").exists():
+        import pandas as pd
+
+        n_rows = len(pd.read_csv(workdir / "shs" / "shs_data.csv"))
+        info = {
+            "n_versions": n_rows, "n_test": None,
+            "shs_data": str(workdir / "shs" / "shs_data.csv"),
+            "splits_dir": str(workdir / "shs" / "splits"),
+            "hs": str(workdir / "hs"),
+        }
+    else:
+        info = build_corpus(workdir, args.dim, args.noise, args.train_cliques,
+                            train_only=args.train_only, seq_frames=seq_frames)
     t_corpus = time.perf_counter() - t0
 
     conf = {
@@ -134,7 +158,9 @@ def main(argv=None) -> int:
         "model": {"name": "whisper", "zdim": 64},
         "train": {
             "loss": "clews", "batch_size": args.batch_size, "lr": 1e-3,
-            "warmup_steps": 20, "max_steps": args.steps, "log_every": 0,
+            "warmup_steps": 20, "max_steps": args.steps,
+            "log_every": args.log_every,
+            "metrics_jsonl": str(workdir / "metrics.jsonl"),
             "checkpoint_every": 10_000, "eval_every": 10_000,
         },
     }
@@ -148,12 +174,16 @@ def main(argv=None) -> int:
 
     t_pack = None
     if args.pack:
-        t0 = time.perf_counter()
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            rc = cli_main(["pack", "--config", str(cpath)])
-        assert rc == 0, buf.getvalue()[-2000:]
-        t_pack = round(time.perf_counter() - t0, 1)
+        already = args.reuse and any(
+            Path(info["hs"]).glob("**/packed_*.json")
+        )
+        if not already:
+            t0 = time.perf_counter()
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                rc = cli_main(["pack", "--config", str(cpath)])
+            assert rc == 0, buf.getvalue()[-2000:]
+            t_pack = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()
     buf = io.StringIO()

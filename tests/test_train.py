@@ -443,6 +443,80 @@ class TestFit:
         assert d["labels"].tolist() == [0, 0]
         assert d["ids"].tolist() == [1, 2]
 
+    def test_fp16_host_pipeline_matches_f32(self, rng):
+        """fp16 end-to-end host path (fp16 items -> dtype-preserving collate
+        -> fp16 transfer -> device upcast) is bit-identical to the legacy
+        f32 collate of the same (fp16-representable) data."""
+        from wealy_tpu.data.chunking import collate_fixed_length
+        from wealy_tpu.train.step import upcast_batch
+
+        items16, items32 = [], []
+        for c in range(3):
+            v16, v32 = [], []
+            for j in range(2):
+                e = rng.normal(size=(7 + c, 4)).astype(np.float16)
+                v16.append((c * 10 + j, e))
+                v32.append((c * 10 + j, e.astype(np.float32)))
+            items16.append((c, v16))
+            items32.append((c, v32))
+        b16 = collate_fixed_length(items16, chunk_size=6, use_random_chunks=False)
+        b32 = collate_fixed_length(items32, chunk_size=6, use_random_chunks=False)
+        assert b16.embeddings.dtype == np.float16
+        assert b32.embeddings.dtype == np.float32
+        np.testing.assert_array_equal(b16.masks, b32.masks)
+        d16 = batch_to_device(b16)
+        assert d16["emb"].dtype == np.float16
+        up = upcast_batch(d16)
+        assert up["emb"].dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(up["emb"]),
+            b32.embeddings.reshape(6, 6, 4),
+        )
+
+    def test_packed_store_dtype_param(self, tmp_path, rng):
+        """PackedStore.load(dtype=fp16) returns a zero-copy mmap view equal
+        to the default f32 load."""
+        from wealy_tpu.data.packed_store import PackedStore
+
+        arrs = [
+            (f"v{i}", rng.normal(size=(5 + i, 8)).astype(np.float16))
+            for i in range(4)
+        ]
+        ps = PackedStore.pack(tmp_path, "hs_last_seq", arrs)
+        a16 = ps.load("v2", dtype=np.float16)
+        a32 = ps.load("v2")
+        assert a16.dtype == np.float16 and a32.dtype == np.float32
+        assert isinstance(a16.base, np.memmap)  # zero-copy fast path
+        np.testing.assert_array_equal(a16.astype(np.float32), a32)
+        np.testing.assert_array_equal(a16, arrs[2][1])
+
+    def test_dataset_emb_dtype_fp16(self, tmp_path, rng):
+        """EmbeddingDataset.load_embedding honors emb_dtype on BOTH the
+        packed path (zero-copy) and the per-version store fallback (cast)."""
+        from wealy_tpu.data.dataset import EmbeddingDataset
+        from wealy_tpu.data.embedding_store import EmbeddingStore
+        from wealy_tpu.data.packed_store import PackedStore
+
+        packed_arr = rng.normal(size=(9, 8)).astype(np.float16)
+        store_arr = rng.normal(size=(7, 8)).astype(np.float16)
+        packed = PackedStore.pack(tmp_path, "hs_last_seq", [("vp", packed_arr)])
+        store = EmbeddingStore(tmp_path / "pv", "lyric-covers")
+        store.save("vs", "hs_last_seq.npz", embeddings=store_arr.astype(np.float32))
+
+        # unit-level instance: load_embedding touches only these four attrs
+        ds = object.__new__(EmbeddingDataset)
+        ds.packed, ds.store = packed, store
+        ds.filename = "hs_last_seq.npz"
+        ds.emb_dtype = np.dtype(np.float16)
+        ep = ds.load_embedding("vp")
+        es = ds.load_embedding("vs")
+        assert ep.dtype == np.float16 and es.dtype == np.float16
+        np.testing.assert_array_equal(ep, packed_arr)
+        np.testing.assert_array_equal(es, store_arr)
+        ds.emb_dtype = None  # default: reference's fp32 boundary
+        assert ds.load_embedding("vp").dtype == np.float32
+        assert ds.load_embedding("vs").dtype == np.float32
+
 
 class TestCheckpoint:
     def test_save_restore(self, tmp_path, rng):

@@ -556,7 +556,15 @@ def cmd_train(args) -> int:
     mesh = make_mesh() if len(jax.devices()) > 1 else None
 
     if sig == "single":
-        ds = EmbeddingDataset(config, "train", seed=config.train.seed)
+        import numpy as np
+
+        # serve fp16 (the store's disk dtype): packed reads stay zero-copy
+        # mmap views and collate+transfer run at half the host bytes; the
+        # jitted step upcasts on device (train.step.upcast_batch) so model
+        # math is exactly the f32 it always was
+        ds = EmbeddingDataset(
+            config, "train", seed=config.train.seed, emb_dtype=np.float16
+        )
         _, versions = ds[0]
         emb_dim = versions[0][1].shape[-1]
         L = config.data.chunk_size

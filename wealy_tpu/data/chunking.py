@@ -57,18 +57,22 @@ def chunk_embedding(
     mode: str,
     embed_dim: int,
     rng: Optional[np.random.Generator] = None,
+    dtype=np.float32,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One (T, C) embedding -> ((chunk_size, C), (chunk_size,) True=valid).
 
     mode 'random' (train) picks a random full window when T > chunk_size;
     mode 'first' (val) takes the prefix. Short sequences are zero-padded with
     a matching mask; None (missing) becomes all-zero / all-invalid.
+    ``dtype`` sets the output allocation (default keeps the legacy f32);
+    pass the source dtype (fp16 from a packed store) to window without a
+    host-side upcast — assignment casts exactly when they differ.
     """
-    out = np.zeros((chunk_size, embed_dim), np.float32)
+    out = np.zeros((chunk_size, embed_dim), dtype)
     mask = np.zeros((chunk_size,), bool)
     if emb is None:
         return out, mask
-    emb = np.asarray(emb, dtype=np.float32)
+    emb = np.asarray(emb)
     T = emb.shape[0]
     if T <= chunk_size:
         out[:T] = emb
@@ -104,9 +108,12 @@ class Batch:
         return labels, idx, emb, mask
 
 
-def _fixed_length_for(items: Sequence[Item], chunk_size: int, embedding_type: str) -> Tuple[int, int]:
-    """(actual_length, embed_dim) with the SBERT/CLEWS fixed-shape overrides
-    (collate_functions.py:174-195)."""
+def _fixed_length_for(items: Sequence[Item], chunk_size: int, embedding_type: str) -> Tuple[int, int, np.dtype]:
+    """(actual_length, embed_dim, alloc_dtype) with the SBERT/CLEWS
+    fixed-shape overrides (collate_functions.py:174-195). alloc_dtype is the
+    first embedding's float dtype — collates are dtype-preserving so an fp16
+    packed-store pipeline never materializes f32 on host (non-float sources
+    allocate f32 as before)."""
     first_emb = None
     for _, versions in items:
         for _, emb in versions:
@@ -118,11 +125,16 @@ def _fixed_length_for(items: Sequence[Item], chunk_size: int, embedding_type: st
     if first_emb is None:
         raise ValueError("all embeddings in batch are None")
     embed_dim = first_emb.shape[-1]
+    dt = (
+        first_emb.dtype
+        if np.issubdtype(first_emb.dtype, np.floating)
+        else np.dtype(np.float32)
+    )
     if first_emb.shape[0] == 1:  # sbert-like
-        return 1, embed_dim
+        return 1, embed_dim, dt
     if embedding_type == "clews":  # fixed (16, 2048)
-        return first_emb.shape[0], embed_dim
-    return chunk_size, embed_dim
+        return first_emb.shape[0], embed_dim, dt
+    return chunk_size, embed_dim, dt
 
 
 def collate_fixed_length(
@@ -135,12 +147,12 @@ def collate_fixed_length(
     """Train/val collate: one fixed window per version (collate_functions.py:174-251)."""
     B = len(items)
     n = len(items[0][1])
-    L, C = _fixed_length_for(items, chunk_size, embedding_type)
+    L, C, edt = _fixed_length_for(items, chunk_size, embedding_type)
     mode = "random" if use_random_chunks else "first"
 
     clique_ids = np.empty((B,), np.int64)
     version_ids = np.zeros((B, n), np.int64)
-    embeddings = np.zeros((B, n, L, C), np.float32)
+    embeddings = np.zeros((B, n, L, C), edt)
     masks = np.zeros((B, n, L), bool)
     for i, (label, versions) in enumerate(items):
         clique_ids[i] = label
@@ -150,10 +162,12 @@ def collate_fixed_length(
                 embeddings[i, j, 0] = np.asarray(emb)[0]
                 masks[i, j, 0] = True
             elif embedding_type == "clews" and emb is not None:
-                embeddings[i, j, :] = np.asarray(emb, np.float32)
+                embeddings[i, j, :] = np.asarray(emb)
                 masks[i, j, :] = True
             else:
-                embeddings[i, j], masks[i, j] = chunk_embedding(emb, L, mode, C, rng)
+                embeddings[i, j], masks[i, j] = chunk_embedding(
+                    emb, L, mode, C, rng, dtype=edt
+                )
     return Batch(clique_ids, version_ids, embeddings, masks)
 
 

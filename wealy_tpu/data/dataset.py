@@ -190,10 +190,19 @@ class EmbeddingDataset:
         seed: int = 0,
         store: Optional[EmbeddingStore] = None,
         refresh_cache: bool = False,
+        emb_dtype=None,
     ):
         assert split in SPLITS
         self.config = config
         self.split = split
+        # emb_dtype: dtype served by load_embedding. None (default) keeps the
+        # reference's fp16-disk -> fp32 boundary. The CLI train path passes
+        # float16 so packed-store reads stay ZERO-COPY mmap views and the
+        # whole host pipeline (load -> window/pad collate -> transfer) runs
+        # at half the bytes; the jitted step upcasts on device
+        # (train.step.upcast_batch), so model math is unchanged and exact
+        # (fp16 -> f32 is lossless).
+        self.emb_dtype = None if emb_dtype is None else np.dtype(emb_dtype)
         self.store = store or (
             EmbeddingStore(config.path.hidden_states, config.data.dataset_name)
             if config.path.hidden_states
@@ -256,9 +265,13 @@ class EmbeddingDataset:
 
     def load_embedding(self, version_key: str) -> Optional[np.ndarray]:
         """Main embedding array for a version (fp16 disk -> fp32, store
-        semantics of base_dataset.py:216-250)."""
+        semantics of base_dataset.py:216-250; served as ``emb_dtype`` when
+        the dataset was built with one — zero-copy from a packed store)."""
+        want = self.emb_dtype
         if self.packed is not None:
-            emb = self.packed.load(version_key)
+            emb = self.packed.load(
+                version_key, dtype=want if want is not None else np.float32
+            )
             if emb is not None:
                 return emb
         if self.store is None:
@@ -266,9 +279,10 @@ class EmbeddingDataset:
         data = self.store.load(version_key, self.filename)
         if data is None:
             return None
-        if "embeddings" in data:
-            return data["embeddings"]
-        return next(iter(data.values()))
+        emb = data["embeddings"] if "embeddings" in data else next(iter(data.values()))
+        if want is not None and np.asarray(emb).dtype != want:
+            emb = np.asarray(emb, want)
+        return emb
 
     def get_embedding_path(self, version_key: str):
         """Resolved on-disk embedding path for a version (the reference's

@@ -160,15 +160,23 @@ class PackedStore:
                 return True
         return False
 
-    def load(self, version_key: str) -> Optional[np.ndarray]:
-        """fp32 array in its original shape, or None if not packed."""
+    def load(self, version_key: str, dtype=np.float32) -> Optional[np.ndarray]:
+        """Array in its original shape, or None if not packed.
+
+        Default ``dtype=float32`` keeps the reference's fp16-disk -> fp32
+        boundary (base_dataset.py:216-250). Passing the store's own dtype
+        (fp16) returns a ZERO-COPY ``np.memmap`` view — the train input
+        pipeline's fast path: no per-item upcast, no host copy until the
+        collate windows the rows it actually uses."""
         ent = self._index.get(version_key)
         if ent is None:
             return None
         off, shape = ent
         n = int(np.prod(shape[:-1], dtype=np.int64))
         flat = self._rows()[off : off + n]
-        return np.asarray(flat, dtype=np.float32).reshape(shape)
+        if np.dtype(dtype) == self._dtype:
+            return flat.reshape(shape)
+        return np.asarray(flat, dtype=dtype).reshape(shape)
 
     @classmethod
     def pack(
@@ -260,7 +268,9 @@ class PackWriter:
         n = 0
         for v in versions:
             if v in old and v not in self._index:
-                self.add(v, old.load(v))
+                # carry rows in the old pack's own dtype: mmap view in,
+                # no upcast/downcast roundtrip (bit-identical either way)
+                self.add(v, old.load(v, dtype=old._dtype))
                 n += 1
         return n
 

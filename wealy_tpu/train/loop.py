@@ -20,6 +20,10 @@ class MetricsWriter:
     """Metrics sink for the (loss, logdict) channel: in-memory history,
     periodic printing, and optional JSONL persistence (one record per step)."""
 
+    #: drain the deferred-logdict buffer whenever it reaches this many steps
+    #: (bounds host memory; by then the oldest steps are long since done)
+    DRAIN_EVERY = 64
+
     def __init__(
         self,
         log_every: int = 50,
@@ -27,40 +31,80 @@ class MetricsWriter:
         jsonl_path: Optional[str] = None,
     ):
         self.log_every = log_every
-        self.history: list[dict] = []
+        self._history: list[dict] = []
+        self._pending: list[tuple[int, dict]] = []
         self.printer = printer
         self._jsonl = open(jsonl_path, "a") if jsonl_path else None
 
     def write(self, step: int, logdict: dict) -> None:
-        scalars = {
-            k: float(v) for k, v in logdict.items() if np.ndim(v) == 0
-        }
-        scalars["step"] = step
-        self.history.append(scalars)
-        if self._jsonl is not None:
-            import json
+        # Defer float() materialization: logdict leaves are device scalars, and
+        # converting one blocks the host on that step's execution — a full
+        # host<->device round trip PER STEP on remote backends (the axon
+        # tunnel pays ~100 ms RTT). Buffer the raw dicts and drain at
+        # print/JSONL/accessor boundaries so steps stay in flight.
+        import time
 
-            self._jsonl.write(json.dumps(scalars) + "\n")
+        # stamp at write() time (host dispatch of this step), NOT at drain
+        # time — inter-record deltas in the JSONL then profile the input
+        # pipeline's sustained rate even though materialization is deferred
+        self._pending.append((step, time.time(), logdict))
+        if (self.log_every and step % self.log_every == 0) or len(
+            self._pending
+        ) >= self.DRAIN_EVERY:
+            self._drain()
+            if self.log_every and step % self.log_every == 0:
+                scalars = self._history[-1]
+                parts = " ".join(
+                    f"{k}={v:.4g}" for k, v in scalars.items()
+                    if k not in ("step", "t")
+                )
+                self.printer(f"[step {step}] {parts}")
+
+    def _drain(self) -> None:
+        for step, t_write, logdict in self._pending:
+            scalars = {
+                k: float(v) for k, v in logdict.items() if np.ndim(v) == 0
+            }
+            scalars["step"] = step
+            scalars["t"] = t_write
+            self._history.append(scalars)
+            if self._jsonl is not None:
+                import json
+
+                self._jsonl.write(json.dumps(scalars) + "\n")
+        if self._pending and self._jsonl is not None:
             self._jsonl.flush()
-        if self.log_every and step % self.log_every == 0:
-            parts = " ".join(
-                f"{k}={v:.4g}" for k, v in scalars.items() if k != "step"
-            )
-            self.printer(f"[step {step}] {parts}")
+        self._pending.clear()
+
+    @property
+    def history(self) -> list[dict]:
+        """Materialized per-step scalar records (drains deferred logdicts)."""
+        self._drain()
+        return self._history
 
     def close(self) -> None:
+        self._drain()
         if self._jsonl is not None:
             self._jsonl.close()
             self._jsonl = None
 
 
-def batch_to_device(batch, flatten: bool = True) -> dict:
-    """Collated Batch -> the dict layout the train step consumes."""
+def batch_to_device(batch, flatten: bool = True,
+                    transfer_dtype=np.float16) -> dict:
+    """Collated Batch -> the dict layout the train step consumes.
+
+    ``emb`` ships as ``transfer_dtype`` (default float16 — the embedding
+    store's DISK dtype, so the cast is bit-lossless for store-sourced values:
+    load upcasts fp16->f32, collate only windows/pads, and the sampler's
+    augment merely shuffles order). Halving the transfer bytes matters both
+    through remote-dispatch tunnels and on the multi-chip host->HBM input
+    path; the jitted step upcasts to f32 on device
+    (:func:`wealy_tpu.train.step.upcast_batch`)."""
     labels, ids, emb, mask = batch.flatten_versions()
     return {
         "labels": np.asarray(labels, np.int32),
         "ids": np.asarray(ids, np.int32),
-        "emb": np.asarray(emb, np.float32),
+        "emb": np.asarray(emb, transfer_dtype),
         "mask": np.asarray(mask),
     }
 
@@ -150,7 +194,19 @@ def fit(
             batch = make_batch(items, brng) if takes_rng else make_batch(items)
         else:
             batch = make_batch(entry, None) if takes_rng else make_batch(entry)
-        return shard_batch(batch, mesh) if mesh is not None else batch
+        if mesh is not None:
+            return shard_batch(batch, mesh)
+        # single-device: complete the host->device transfer ON the prefetch
+        # thread so the step loop never waits for input bytes (with
+        # prefetch_depth=2 the transfer of batch N+1 overlaps step N; through
+        # a remote-dispatch tunnel the transfer, not the step, is the cost)
+        import jax
+
+        placed = jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x)), batch
+        )
+        jax.block_until_ready(placed)
+        return placed
 
     step = int(state.step)
     epoch = int(start_epoch)

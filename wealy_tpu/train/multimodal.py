@@ -18,7 +18,12 @@ from wealy_tpu.models.registry import build_model
 
 def flatten_multimodal_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """(B, n_per_class, ...) multimodal batch -> flat (B*n, ...) with
-    labels/ids, the layout the losses consume."""
+    labels/ids, the layout the losses consume.
+
+    Float leaves ship as float16 — the embedding store's disk dtype, so the
+    cast is bit-lossless for store-sourced values and halves host->device
+    transfer bytes (same rationale as ``loop.batch_to_device``); the jitted
+    step upcasts on device (``step.upcast_batch``)."""
     B, n = batch["version_ids"].shape
     flat = {
         "labels": np.repeat(np.asarray(batch["clique_ids"], np.int32), n),
@@ -28,6 +33,8 @@ def flatten_multimodal_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarr
         if k in ("clique_ids", "version_ids"):
             continue
         v = np.asarray(v)
+        if np.issubdtype(v.dtype, np.floating):
+            v = v.astype(np.float16)
         flat[k] = v.reshape(B * n, *v.shape[2:])
     return flat
 
@@ -74,7 +81,16 @@ def make_model_call(name: str, model, signature: str) -> Callable:
 
     else:
         raise ValueError(f"unknown signature {signature!r}")
-    return call
+
+    def call_upcast(params, batch):
+        # batches ship fp16 (flatten_multimodal_batch); widen to f32 on
+        # device BEFORE any model math (pooling/norm stats must not run in
+        # half precision). Covers eval-side jit(model_call) users too.
+        from wealy_tpu.train.step import upcast_batch
+
+        return call(params, upcast_batch(batch))
+
+    return call_upcast
 
 
 def build_trainable(name: str, zdim: int = 512, **kwargs) -> Tuple:

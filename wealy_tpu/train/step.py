@@ -21,6 +21,22 @@ from wealy_tpu.parallel.mesh import data_sharding, replicated
 from wealy_tpu.train.state import TrainState
 
 
+def upcast_batch(batch: dict) -> dict:
+    """float16/bfloat16 leaves -> float32 at the jit boundary.
+
+    The input pipeline ships ``emb`` in the embedding store's fp16 disk dtype
+    (``loop.batch_to_device``) to halve host->device bytes; model math stays
+    f32, so widen on device (free: fuses into the first consumer)."""
+
+    def up(x):
+        x = jnp.asarray(x)
+        if x.dtype in (jnp.float16, jnp.bfloat16):
+            return x.astype(jnp.float32)
+        return x
+
+    return jax.tree_util.tree_map(up, batch)
+
+
 def make_train_step(
     model,
     loss_fn: Callable,
@@ -97,6 +113,7 @@ def make_train_step(
             )
 
         def _step_accum(state: TrainState, batch: dict):
+            batch = upcast_batch(batch)
             B = batch["labels"].shape[0]
             if B % n_micro:
                 raise ValueError(
@@ -152,6 +169,8 @@ def make_train_step(
         return jax.jit(_step_accum, donate_argnums=(0,))
 
     def _step(state: TrainState, batch: dict):
+        batch = upcast_batch(batch)
+
         def compute(params):
             if with_batch_stats:
                 z, new_stats = model_call(params, state.batch_stats, batch)
